@@ -1,0 +1,97 @@
+"""Voxel pooling (the LSS "splat") for TPU.
+
+The reference calls the CUDA ``mmdet3d.ops.bev_pool`` extension
+(ref: ViewTransformerLSSVoxel.py:432-476) or the pure-torch
+sort + ``QuickCumsum`` fallback (ref: ViewTransformerLSSBEVDepth.py:33-68,
+184-197). Both are a masked scatter-sum of B*D*fH*fW lifted frustum points
+into the X*Y*Z voxel grid.
+
+TPU-native formulations here:
+
+- ``voxel_pool_scatter``: one XLA scatter-add. Out-of-bounds points carry the
+  sentinel rank ``num_voxels`` and land in a dropped overflow bucket.
+  Differentiable (scatter-add transposes to gather).
+- ``voxel_pool_sorted``: sort-by-rank + ``jax.ops.segment_sum`` — the
+  QuickCumsum-equivalent algorithm, kept as a parity oracle and as the fast
+  path when XLA's sorted segment reduction wins.
+
+Both operate on flattened ``[P, C]`` features + ``[P]`` int ranks so the same
+kernels serve bev_pool, the BEVDepth-style ``voxel_pooling`` alternate
+(ref: ViewTransformerLSSBEVDepth.py:272-282), and any future sparse variant.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def voxel_pool_scatter(
+    feats: jnp.ndarray, ranks: jnp.ndarray, num_voxels: int
+) -> jnp.ndarray:
+    """Scatter-add pooled features.
+
+    Args:
+      feats: [P, C] per-point features.
+      ranks: [P] int32 linear voxel index in [0, num_voxels]; the value
+        ``num_voxels`` is an overflow bucket for out-of-bounds points.
+    Returns:
+      [num_voxels, C] summed features.
+    """
+    out = jnp.zeros((num_voxels + 1, feats.shape[-1]), dtype=feats.dtype)
+    out = out.at[ranks].add(feats, mode="drop")
+    return out[:num_voxels]
+
+
+def voxel_pool_sorted(
+    feats: jnp.ndarray, ranks: jnp.ndarray, num_voxels: int
+) -> jnp.ndarray:
+    """Sort + segment-sum pooling (QuickCumsum-equivalent algorithm)."""
+    order = jnp.argsort(ranks)
+    sorted_feats = feats[order]
+    sorted_ranks = ranks[order]
+    out = jax.ops.segment_sum(
+        sorted_feats,
+        sorted_ranks,
+        num_segments=num_voxels + 1,
+        indices_are_sorted=True,
+    )
+    return out[:num_voxels]
+
+
+def lift_splat(
+    depth_prob: jnp.ndarray,
+    img_feat: jnp.ndarray,
+    ranks: jnp.ndarray,
+    grid_shape: tuple[int, int, int],
+    method: str = "scatter",
+) -> jnp.ndarray:
+    """Fused lift (outer product) + splat (voxel pooling) for one batch of
+    cameras.
+
+    The reference materializes the full [B, N, D, fH, fW, C] lifted volume
+    before pooling (ref: ViewTransformerLSSVoxel.py:517-523). Here the lift is
+    expressed per-sample and immediately consumed by the pooling reduction so
+    XLA can fuse the outer product into the scatter operand.
+
+    Args:
+      depth_prob: [B, D, fH, fW] fused depth distribution.
+      img_feat: [B, fH, fW, C] context features (single lifted camera).
+      ranks: [B, D*fH*fW] linear voxel ranks (sentinel = num_voxels).
+      grid_shape: (X, Y, Z).
+    Returns:
+      [B, X, Y, Z, C] pooled voxel features.
+    """
+    num_x, num_y, num_z = grid_shape
+    num_voxels = num_x * num_y * num_z
+    b, d, fh, fw = depth_prob.shape
+    c = img_feat.shape[-1]
+
+    pool = voxel_pool_scatter if method == "scatter" else voxel_pool_sorted
+
+    def one(dp, feat, rk):
+        lifted = dp.reshape(d, fh, fw, 1) * feat.reshape(1, fh, fw, c)
+        return pool(lifted.reshape(-1, c), rk, num_voxels)
+
+    pooled = jax.vmap(one)(depth_prob, img_feat, ranks)
+    return pooled.reshape(b, num_x, num_y, num_z, c)
