@@ -1,0 +1,142 @@
+"""Full training loop: epochs, periodic eval, best-checkpoint, logging.
+
+Replaces ``custom_train_detector`` + ``EpochBasedRunner`` + ``OccDistEvalHook``
+(ref: occupancy/apis/mmdet_train.py:28-198, core/evaluation/eval_hooks.py:92-167):
+
+- one jitted train step per iteration (batch sharded over the mesh's 'data'
+  axis, params replicated -> XLA all-reduces grads, the DDP equivalent),
+- eval every ``eval_interval`` epochs with the streaming SSC metric state,
+- best checkpoint by ``semkitti_combined_IoU`` + keep-last-k,
+- JSONL metric logging on host 0 and optional per-stage profiling
+  (the reference's ``record_time`` latency table,
+  ref bevdepth_occupancy.py:252-263, becomes a --profile flag that wraps the
+  step in ``block_until_ready`` timers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import metrics as ssc_metrics
+from ..losses import KITTI_CLASS_NAMES
+from .checkpoint import CheckpointManager
+from .train import TrainState
+
+
+class JsonlLogger:
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def log(self, record: Dict):
+        record = {
+            k: (float(v) if hasattr(v, "item") else v)
+            for k, v in record.items()
+        }
+        line = json.dumps(record)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(line + "\n")
+        print(line, flush=True)
+
+
+def run_training(
+    model,
+    state: TrainState,
+    train_step: Callable,
+    train_loader,
+    eval_fn: Optional[Callable] = None,
+    *,
+    mesh=None,
+    max_epochs: int = 30,
+    eval_interval: int = 2,
+    work_dir: str = "work_dir",
+    log_interval: int = 50,
+    seed: int = 0,
+    profile: bool = False,
+) -> TrainState:
+    logger = JsonlLogger(os.path.join(work_dir, "train_log.jsonl"))
+    ckpt = CheckpointManager(os.path.join(work_dir, "ckpts"))
+    state, start_step = ckpt.restore(state)
+
+    if mesh is not None:
+        batch_shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        jitted_step = jax.jit(
+            train_step,
+            in_shardings=(repl, batch_shard, repl),
+            out_shardings=(repl, repl),
+        )
+        state = jax.device_put(state, repl)
+    else:
+        jitted_step = jax.jit(train_step)
+
+    rng = jax.random.PRNGKey(seed)
+    steps_per_epoch = len(train_loader)
+    start_epoch = int(start_step) // max(steps_per_epoch, 1)
+
+    for epoch in range(start_epoch, max_epochs):
+        t_epoch = time.time()
+        for it, batch in enumerate(train_loader):
+            rng, step_rng = jax.random.split(rng)
+            t0 = time.perf_counter() if profile else None
+            state, logs = jitted_step(state, batch, step_rng)
+            if profile:
+                jax.block_until_ready(logs["loss_total"])
+                logs["step_time_s"] = time.perf_counter() - t0
+            if it % log_interval == 0:
+                logger.log(
+                    {"epoch": epoch, "iter": it, **jax.device_get(logs)}
+                )
+
+        metrics_out: Dict[str, float] = {}
+        if eval_fn is not None and (epoch + 1) % eval_interval == 0:
+            metrics_out = eval_fn(state)
+            logger.log({"epoch": epoch, "eval": metrics_out})
+
+        ckpt.save(int(state.step), state, metrics=metrics_out)
+        logger.log(
+            {"epoch": epoch, "epoch_time_s": time.time() - t_epoch}
+        )
+    return state
+
+
+def run_evaluation(
+    model,
+    variables,
+    eval_step: Callable,
+    eval_loader,
+    *,
+    class_names=KITTI_CLASS_NAMES,
+    progress: bool = True,
+) -> Dict[str, float]:
+    """Streaming evaluation over a loader; returns the reference-format
+    metric dict (semkitti_* keys + combined sort key)."""
+    jitted = jax.jit(eval_step)
+    metric_state = ssc_metrics.empty_state()
+    t0 = time.time()
+    n = 0
+    for i, batch in enumerate(eval_loader):
+        _, metric_state = jitted(variables, batch, metric_state)
+        n += int(np.asarray(batch["gt_occ"]).shape[0])
+        if progress and i % 20 == 0:
+            scores = ssc_metrics.compute(jax.device_get(metric_state))
+            print(
+                f"[eval] {n} frames, running SC IoU "
+                f"{float(scores['iou']):.4f}, mIoU "
+                f"{float(scores['iou_ssc_mean']):.4f}",
+                flush=True,
+            )
+    out = ssc_metrics.evaluate_dict(metric_state, class_names)
+    out["eval_time_s"] = time.time() - t0
+    out["eval_frames"] = n
+    return out

@@ -10,6 +10,14 @@ from .semkitti import (
 )
 from .lovasz import lovasz_softmax
 from .depth import downsample_gt_depth, bce_depth_loss
+from .extras import (
+    soft_dice_loss,
+    position_aware_loss,
+    frustum_proportion_loss,
+    gaussian_depth_target,
+    klv_depth_loss,
+    local_geometric_anisotropy,
+)
 
 __all__ = [
     "SEMANTIC_KITTI_CLASS_FREQUENCIES",
@@ -23,4 +31,10 @@ __all__ = [
     "lovasz_softmax",
     "downsample_gt_depth",
     "bce_depth_loss",
+    "soft_dice_loss",
+    "position_aware_loss",
+    "frustum_proportion_loss",
+    "gaussian_depth_target",
+    "klv_depth_loss",
+    "local_geometric_anisotropy",
 ]

@@ -1,0 +1,177 @@
+"""Auxiliary SSC losses present in the reference's loss zoo.
+
+- ``soft_dice_loss``: binary occupancy dice on probabilities
+  (ref: utils/dice_loss.py SoftDiceLossWithProb / V1; the custom-autograd V2
+  variant exists purely to save memory in torch — JAX's AD handles this form
+  directly).
+- ``position_aware_loss`` (LGA): CE weighted by a local-geometric-anisotropy
+  factor — voxels whose 6-neighborhood has many class changes get up-weighted
+  (ref: utils/pal_loss.py:9 PositionAwareLoss).
+- ``frustum_proportion_loss``: MonoScene-style KL between per-frustum class
+  proportion distributions (ref: utils/semkitti.py:218-243
+  compute_frustum_dist_loss).
+- ``gaussian_depth_target`` + ``klv_depth_loss``: Gaussian-smoothed depth
+  supervision (ref: utils/gaussian.py:90-130 generate_guassian_depth_target,
+  ViewTransformerLSSVoxel.py:390-403 get_klv_depth_loss).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def soft_dice_loss(occ_probs: jnp.ndarray, target: jnp.ndarray,
+                   smooth: float = 1.0) -> jnp.ndarray:
+    """occ_probs: [...] P(occupied); target int labels (255 ignored)."""
+    p = occ_probs.astype(jnp.float32).reshape(-1)
+    t = target.reshape(-1)
+    valid = (t != 255).astype(jnp.float32)
+    occ = ((t > 0) & (t != 255)).astype(jnp.float32)
+    p = p * valid
+    inter = jnp.sum(p * occ)
+    denom = jnp.sum(p) + jnp.sum(occ)
+    return 1.0 - (2.0 * inter + smooth) / (denom + smooth)
+
+
+def local_geometric_anisotropy(target: jnp.ndarray) -> jnp.ndarray:
+    """Count of 6-neighbors with a different (valid) class per voxel.
+
+    target: [B, X, Y, Z] int. Returns float32 LGA counts (ref pal_loss.py:
+    M_LGA = number of semantically-different neighbors)."""
+    t = target.astype(jnp.int32)
+    valid = t != 255
+    counts = jnp.zeros(t.shape, jnp.float32)
+    for axis in (1, 2, 3):
+        for shift in (1, -1):
+            nb = jnp.roll(t, shift, axis=axis)
+            nb_valid = jnp.roll(valid, shift, axis=axis)
+            # roll wraps; mask the wrapped boundary slice
+            idx = jax.lax.broadcasted_iota(jnp.int32, t.shape, axis)
+            size = t.shape[axis]
+            in_range = (idx >= 1) if shift == 1 else (idx <= size - 2)
+            diff = (nb != t) & nb_valid & valid & in_range
+            counts = counts + diff.astype(jnp.float32)
+    return counts
+
+
+def position_aware_loss(
+    logits: jnp.ndarray, target: jnp.ndarray, class_weights: jnp.ndarray,
+    lga_weight: float = 1.0,
+) -> jnp.ndarray:
+    """CE with per-voxel (1 + LGA) weighting (ref pal_loss.py:9-60)."""
+    num_classes = logits.shape[-1]
+    lga = 1.0 + lga_weight * local_geometric_anisotropy(target).reshape(-1)
+    logits = logits.astype(jnp.float32).reshape(-1, num_classes)
+    t = target.reshape(-1).astype(jnp.int32)
+    valid = t != 255
+    safe_t = jnp.where(valid, t, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_t[:, None], axis=-1)[:, 0]
+    w = jnp.asarray(class_weights, jnp.float32)[safe_t] * lga
+    w = jnp.where(valid, w, 0.0)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), _EPS)
+
+
+def frustum_proportion_loss(
+    logits: jnp.ndarray,
+    frustum_masks: jnp.ndarray,
+    frustum_class_dists: jnp.ndarray,
+) -> jnp.ndarray:
+    """KL between predicted and target class-proportion per frustum.
+
+    Args:
+      logits: [B, X, Y, Z, C].
+      frustum_masks: [B, F, X, Y, Z] bool.
+      frustum_class_dists: [B, F, C] target class counts.
+    ref: semkitti.py:218-243
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    num_f = frustum_masks.shape[1]
+    batch_cnt = jnp.sum(frustum_class_dists.astype(jnp.float32), axis=0)  # [F, C]
+
+    def one_frustum(f, acc):
+        loss, nonempty = acc
+        mask = frustum_masks[:, f].astype(jnp.float32)[..., None]
+        cum_prob = jnp.sum(probs * mask, axis=(0, 1, 2, 3))  # [C]
+        total_cnt = jnp.sum(batch_cnt[f])
+        total_prob = jnp.sum(cum_prob)
+        tgt = batch_cnt[f] / jnp.maximum(total_cnt, _EPS)
+        pred = cum_prob / jnp.maximum(total_prob, _EPS)
+        nz = tgt != 0
+        kl = jnp.sum(
+            jnp.where(
+                nz,
+                tgt * (jnp.log(jnp.maximum(tgt, _EPS))
+                       - jnp.log(jnp.maximum(pred, _EPS))),
+                0.0,
+            )
+        )
+        use = (total_prob > 0) & (total_cnt > 0)
+        return (loss + jnp.where(use, kl, 0.0),
+                nonempty + use.astype(jnp.float32))
+
+    loss, nonempty = jax.lax.fori_loop(
+        0, num_f, one_frustum, (jnp.float32(0.0), jnp.float32(0.0))
+    )
+    return loss / jnp.maximum(nonempty, 1.0)
+
+
+def gaussian_depth_target(
+    gt_depths: jnp.ndarray,
+    downsample: int,
+    dbound: Tuple[float, float, float],
+    num_depth: int,
+    constant_std: float = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel Gaussian distribution over depth bins centered at the
+    min-pooled LiDAR depth (ref: utils/gaussian.py:90-130).
+
+    Returns (gaussian [B*N*h*w, D], depth_values [B*N*h*w])."""
+    b, n, h, w = gt_depths.shape
+    d = downsample
+    x = gt_depths.reshape(b * n, h // d, d, w // d, d)
+    x = jnp.where(x == 0.0, 1e5, x)
+    depth_vals = jnp.min(x, axis=(2, 4)).reshape(-1)
+
+    lo, _, step = dbound
+    centers = lo + step * jnp.arange(num_depth, dtype=jnp.float32)
+    # CDF difference over each bin: N(depth, std) mass in [c - s/2, c + s/2]
+    std = constant_std
+    z_hi = (centers[None, :] + step / 2 - depth_vals[:, None]) / (
+        std * jnp.sqrt(2.0)
+    )
+    z_lo = (centers[None, :] - step / 2 - depth_vals[:, None]) / (
+        std * jnp.sqrt(2.0)
+    )
+    mass = 0.5 * (jax.lax.erf(z_hi) - jax.lax.erf(z_lo))
+    mass = mass / jnp.maximum(jnp.sum(mass, axis=1, keepdims=True), _EPS)
+    return mass, depth_vals
+
+
+def klv_depth_loss(
+    gt_depths: jnp.ndarray,
+    depth_probs: jnp.ndarray,
+    downsample: int,
+    dbound: Tuple[float, float, float],
+    constant_std: float = 0.5,
+) -> jnp.ndarray:
+    """KL(depth_pred || gaussian target) on in-range pixels
+    (ref: ViewTransformerLSSVoxel.py:390-403; batchmean reduction)."""
+    num_depth = depth_probs.shape[-1]
+    target, depth_vals = gaussian_depth_target(
+        gt_depths, downsample, dbound, num_depth, constant_std
+    )
+    lo, hi, step = dbound
+    fg = (depth_vals >= lo) & (depth_vals <= hi - step)
+    preds = depth_probs.astype(jnp.float32).reshape(-1, num_depth)
+    logp = jnp.log(preds + 1e-4)
+    per_pix = jnp.sum(
+        target * (jnp.log(jnp.maximum(target, _EPS)) - logp), axis=1
+    )
+    per_pix = jnp.where(fg, per_pix, 0.0)
+    return jnp.sum(per_pix) / jnp.maximum(jnp.sum(fg), 1.0)

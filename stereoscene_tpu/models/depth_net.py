@@ -1,0 +1,146 @@
+"""Camera-aware monocular depth net (the BEVDepth branch).
+
+Rebuild of the reference ``DepthNet``
+(ref: ViewTransformerLSSBEVDepth.py:457-517): GN(2)-normalized camera
+embedding, SE-conditioned context and depth paths, depth path =
+3 x ResNet BasicBlock -> ASPP (dilations 1/6/12/18 + GAP branch,
+ref :343-414) -> deformable conv (mmcv DCN, groups 4, ref :490-498) ->
+1x1 to D depth logits. Output is the channel concat [depth_logits | context].
+
+TPU adaptations: channels-last, DCN realized as the gather-based
+``ops.deform_conv2d`` with a zero-initialized offset head (so at init the
+layer behaves exactly like a regular 3x3 conv, matching mmcv's
+DeformConv2dPack init), and fp32 normalization islands.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.deform_conv import deform_conv2d
+from .layers import BatchNorm, Conv2d, GroupNorm, Mlp, SELayer
+
+
+class BasicBlock2d(nn.Module):
+    """mmdet ResNet BasicBlock: 3x3-BN-ReLU-3x3-BN + residual."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = Conv2d(self.features, 3, padding=1, use_bias=False, name="conv1")(x)
+        y = BatchNorm(name="bn1")(y, train=train)
+        y = nn.relu(y)
+        y = Conv2d(self.features, 3, padding=1, use_bias=False, name="conv2")(y)
+        y = BatchNorm(name="bn2")(y, train=train)
+        return nn.relu(y + residual)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (ref: ViewTransformerLSSBEVDepth.py:343-414).
+
+    Branches: 1x1, three 3x3 atrous convs (d=6/12/18) each with BN+ReLU, and
+    a global-average-pool branch with GN(2)+ReLU, upsampled (constant map, so
+    plain broadcast); concat -> 1x1 -> BN -> ReLU -> dropout(0.5).
+    """
+
+    mid_channels: int
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for i, (k, d) in enumerate([(1, 1), (3, 6), (3, 12), (3, 18)]):
+            pad = 0 if k == 1 else d
+            y = nn.Conv(
+                self.mid_channels, (k, k), padding=[(pad, pad)] * 2,
+                kernel_dilation=(d, d), use_bias=False, name=f"aspp{i + 1}_conv",
+            )(x)
+            y = BatchNorm(name=f"aspp{i + 1}_bn")(y, train=train)
+            outs.append(nn.relu(y))
+
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        g = Conv2d(self.mid_channels, 1, use_bias=False, name="gap_conv")(
+            pooled.astype(x.dtype)
+        )
+        g = GroupNorm(num_groups=2, name="gap_gn")(g)
+        g = nn.relu(g)
+        g = jnp.broadcast_to(g, outs[0].shape)
+        outs.append(g)
+
+        y = jnp.concatenate(outs, axis=-1)
+        y = Conv2d(self.mid_channels, 1, use_bias=False, name="out_conv")(y)
+        y = BatchNorm(name="out_bn")(y, train=train)
+        y = nn.relu(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        return y
+
+
+class DeformConvPack(nn.Module):
+    """DCNv1 with internal zero-init offset conv (mmcv DeformConv2dPack)."""
+
+    features: int
+    groups: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        # zero-initialized offset head: at init the DCN equals a plain 3x3
+        # conv (mmcv DeformConv2dPack convention)
+        offsets = nn.Conv(
+            18, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv_offset",
+        )(x)
+        cin = x.shape[-1]
+        weights = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (9, cin // self.groups, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return deform_conv2d(x, offsets, weights.astype(x.dtype), bias,
+                             groups=self.groups)
+
+
+class DepthNet(nn.Module):
+    """[B*N, H, W, Cin] + [B*N, cam_channels] -> [B*N, H, W, D + C_ctx]."""
+
+    mid_channels: int
+    context_channels: int
+    depth_channels: int
+    cam_channels: int = 27
+
+    @nn.compact
+    def __call__(self, x, mlp_input, train: bool = False):
+        # camera embedding normalization: GN(2) over the raw vector
+        # (ref: ViewTransformerLSSBEVDepth.py:479)
+        mlp_input = GroupNorm(num_groups=2, name="bn")(
+            mlp_input.reshape(-1, mlp_input.shape[-1])
+        )
+
+        y = Conv2d(self.mid_channels, 3, padding=1, name="reduce_conv")(x)
+        y = GroupNorm(num_groups=2, name="reduce_gn")(y)
+        y = nn.relu(y)
+
+        context_se = Mlp(self.mid_channels, self.mid_channels,
+                         name="context_mlp")(mlp_input)
+        context = SELayer(self.mid_channels, name="context_se")(y, context_se)
+        context = Conv2d(self.context_channels, 1, name="context_conv")(context)
+
+        depth_se = Mlp(self.mid_channels, self.mid_channels,
+                       name="depth_mlp")(mlp_input)
+        depth = SELayer(self.mid_channels, name="depth_se")(y, depth_se)
+        for i in range(3):
+            depth = BasicBlock2d(self.mid_channels, name=f"block{i}")(
+                depth, train=train
+            )
+        depth = ASPP(self.mid_channels, name="aspp")(depth, train=train)
+        depth = DeformConvPack(self.mid_channels, name="dcn")(depth)
+        depth = Conv2d(self.depth_channels, 1, name="depth_pred")(depth)
+
+        return jnp.concatenate([depth, context], axis=-1)

@@ -1,0 +1,253 @@
+"""Top-level stereo occupancy detector.
+
+Rebuild of ``BEVDepthOccupancy``
+(ref: occupancy/detectors/bevdepth_occupancy.py:23-359): both stereo views run
+through one shared backbone+neck (batch-dim concat, ref :94), features split
+into left/right, camera MLP embeddings computed per eye, the view transformer
+lifts the LEFT camera's context features through the MIE-fused depth
+distribution into the voxel grid, and the 3D encoder + head predict
+occupancy logits at [X, Y, Z] = 128x128x16 (upsampled to GT 256x256x32 in
+the loss/inference wrapper).
+
+Model config mirrors the reference config surface
+(configs/occupancy/semantickitti/stereoscene.py:57-126): the
+``from_config`` constructor accepts that dict schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .. import geometry
+from .efficientnet import CustomEfficientNet
+from .lss import ViewTransformerLiftSplatShootVoxel
+from .occhead import OccHead
+from .resnet3d import CustomResNet3D
+from .second_fpn import SECONDFPN, SECONDFPN3D
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Static hyperparameters of the active stereoscene model."""
+
+    input_size: Tuple[int, int] = (384, 1280)
+    downsample: int = 8
+    xbound: Tuple[float, float, float] = (0.0, 51.2, 0.8)
+    ybound: Tuple[float, float, float] = (-25.6, 25.6, 0.8)
+    zbound: Tuple[float, float, float] = (-2.0, 4.4, 0.8)
+    dbound: Tuple[float, float, float] = (2.0, 58.0, 0.5)
+
+    backbone_arch: str = "b7"
+    backbone_out_indices: Tuple[int, ...] = (2, 3, 4, 5, 6)
+    backbone_drop_path_rate: float = 0.2
+    backbone_with_cp: bool = True
+    neck_in_channels: Tuple[int, ...] = (48, 80, 224, 640, 2560)
+    neck_upsample_strides: Tuple[float, ...] = (0.5, 1, 2, 4, 4)
+    neck_out_channels: Tuple[int, ...] = (128, 128, 128, 128, 128)
+
+    numC_Trans: int = 128
+    cam_channels: int = 30
+    voxel_channels: Tuple[int, ...] = (128, 256, 512)
+    voxel_out_indices: Tuple[int, ...] = (0, 1, 2)
+    voxel_out_channels: Tuple[int, ...] = (128, 128, 128)
+    voxel_strides: Tuple[int, ...] = (1, 2, 2)
+    fpn3d_upsample_strides: Tuple[int, ...] = (1, 2, 4)
+    out_channel: int = 20
+    resnet_depth: int = 18
+    norm_groups: int = 32
+    attention_chunk: int = 1024
+    # optional subsystems (ref: bevdepth_occupancy.py:27 use_grid_mask,
+    # ViewTransformerLSSVoxel.py:327-340 imgseg aux head,
+    # resnet3d.py:158-165 crp3d) — all off in the scored config
+    use_grid_mask: bool = False
+    imgseg: bool = False
+    imgseg_class: int = 20
+    crp3d: bool = False
+    crp_mega_shape: Tuple[int, int, int] = (32, 32, 4)
+
+    @property
+    def num_depth(self) -> int:
+        lo, hi, step = self.dbound
+        return int(round((hi - lo) / step))
+
+    @property
+    def feature_size(self) -> Tuple[int, int]:
+        return (self.input_size[0] // self.downsample,
+                self.input_size[1] // self.downsample)
+
+    @property
+    def grid_shape(self) -> Tuple[int, int, int]:
+        dx, bx, nx = geometry.gen_dx_bx(self.xbound, self.ybound, self.zbound)
+        return (int(nx[0]), int(nx[1]), int(nx[2]))
+
+    @classmethod
+    def from_config(cls, cfg: Dict[str, Any]) -> "DetectorConfig":
+        """Build from a reference-style config dict (stereoscene.py keys)."""
+        model = cfg["model"]
+        grid = model["img_view_transformer"]["grid_config"]
+        data = model["img_view_transformer"]["data_config"]
+        bb = model["img_backbone"]
+        neck = model["img_neck"]
+        bev_bb = model["img_bev_encoder_backbone"]
+        bev_neck = model["img_bev_encoder_neck"]
+        head = model["pts_bbox_head"]
+        return cls(
+            input_size=tuple(data["input_size"]),
+            downsample=model["img_view_transformer"]["downsample"],
+            xbound=tuple(grid["xbound"]),
+            ybound=tuple(grid["ybound"]),
+            zbound=tuple(grid["zbound"]),
+            dbound=tuple(grid["dbound"]),
+            backbone_arch=bb["arch"],
+            backbone_out_indices=tuple(bb["out_indices"]),
+            backbone_drop_path_rate=bb.get("drop_path_rate", 0.0),
+            backbone_with_cp=bb.get("with_cp", False),
+            neck_in_channels=tuple(neck["in_channels"]),
+            neck_upsample_strides=tuple(neck["upsample_strides"]),
+            neck_out_channels=tuple(neck["out_channels"]),
+            numC_Trans=model["img_view_transformer"]["numC_Trans"],
+            cam_channels=model["img_view_transformer"]["cam_channels"],
+            voxel_channels=tuple(bev_bb["block_inplanes"]),
+            voxel_out_indices=tuple(bev_bb["out_indices"]),
+            voxel_out_channels=tuple(bev_neck["out_channels"]),
+            fpn3d_upsample_strides=tuple(bev_neck["upsample_strides"]),
+            out_channel=head["out_channel"],
+            resnet_depth=bev_bb["depth"],
+        )
+
+
+class BEVDepthOccupancy(nn.Module):
+    cfg: DetectorConfig
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        """batch keys (channels-last):
+          imgs:       [B, 2, H, W, 3]  normalized stereo pair (0=left, 1=right)
+          rots:       [B, 2, 3, 3]     cam-to-ego rotation
+          trans:      [B, 2, 3]
+          intrins:    [B, 2, 3, 4]     KITTI P-matrices
+          post_rots:  [B, 2, 3, 3]
+          post_trans: [B, 2, 3]
+          bda:        [B, 3, 3]
+          calib:      [B]              fx * baseline
+        """
+        cfg = self.cfg
+        imgs = batch["imgs"]
+        b = imgs.shape[0]
+
+        # shared image encoder over both eyes (ref :94-96)
+        flat = imgs.reshape((b * 2,) + imgs.shape[2:])
+        if cfg.use_grid_mask and train:
+            from ..data.augment import grid_mask
+
+            flat = grid_mask(flat, self.make_rng("dropout"))
+        feats = CustomEfficientNet(
+            arch=cfg.backbone_arch,
+            out_indices=cfg.backbone_out_indices,
+            drop_path_rate=cfg.backbone_drop_path_rate,
+            with_cp=cfg.backbone_with_cp,
+            name="img_backbone",
+        )(flat, train=train)
+        neck_out = SECONDFPN(
+            in_channels=cfg.neck_in_channels,
+            out_channels=cfg.neck_out_channels,
+            upsample_strides=cfg.neck_upsample_strides,
+            name="img_neck",
+        )(feats, train=train)
+        # [2B, fH, fW, 640]; eyes interleave as [left_0..left_B, right_0..]
+        feat_left, feat_right = neck_out[:b], neck_out[b:]
+
+        # camera-parameter embeddings per eye (ref :109-110)
+        mlp = geometry.get_mlp_input(
+            batch["rots"], batch["trans"], batch["intrins"],
+            batch["post_rots"], batch["post_trans"], batch["bda"],
+        )  # [B, 2, cam_channels]
+        mlp_left, mlp_right = mlp[:, 0], mlp[:, 1]
+
+        # voxel ranks for the LEFT camera's frustum
+        frustum = jnp.asarray(
+            geometry.create_frustum(cfg.input_size, cfg.downsample, cfg.dbound)
+        )
+        geom = geometry.get_geometry(
+            frustum,
+            batch["rots"][:, :1], batch["trans"][:, :1],
+            batch["intrins"][:, :1], batch["post_rots"][:, :1],
+            batch["post_trans"][:, :1], batch["bda"],
+        )[:, 0]  # [B, D, fH, fW, 3]
+        dx, bx, nx = geometry.gen_dx_bx(cfg.xbound, cfg.ybound, cfg.zbound)
+        coords, valid = geometry.voxel_indices(geom, dx, bx, nx)
+        ranks = geometry.flatten_voxel_ranks(coords, valid, nx)
+        ranks = ranks.reshape(b, -1)
+
+        # view transform: stereo + mono + MIE + lift-splat
+        voxel_feat, depth_prob = ViewTransformerLiftSplatShootVoxel(
+            num_depth=cfg.num_depth,
+            numC_input=sum(cfg.neck_out_channels),
+            numC_Trans=cfg.numC_Trans,
+            cam_channels=cfg.cam_channels,
+            grid_shape=cfg.grid_shape,
+            attention_chunk=cfg.attention_chunk,
+            name="img_view_transformer",
+        )(feat_left, feat_right, mlp_left, mlp_right, batch["calib"], ranks,
+          train=train)
+
+        # optional image-view segmentation aux head (ref :327-340,499-500)
+        imgseg_logits = None
+        if cfg.imgseg:
+            from .depth_net import BasicBlock2d
+            from .layers import Conv2d
+
+            seg = BasicBlock2d(sum(cfg.neck_out_channels),
+                               name="imgseg_block0")(feat_left, train=train)
+            seg = BasicBlock2d(sum(cfg.neck_out_channels),
+                               name="imgseg_block1")(seg, train=train)
+            imgseg_logits = Conv2d(cfg.imgseg_class, 1, name="imgseg_head")(seg)
+
+        # 3D encoder (ref :62-81, fp32 in the reference's force_fp32 wrapper)
+        bev_backbone = CustomResNet3D(
+            depth=cfg.resnet_depth,
+            num_stage=len(cfg.voxel_channels),
+            block_inplanes=cfg.voxel_channels,
+            block_strides=cfg.voxel_strides + (2,) * (
+                4 - len(cfg.voxel_strides)
+            ),
+            out_indices=cfg.voxel_out_indices,
+            norm_groups=cfg.norm_groups,
+            crp3d=cfg.crp3d,
+            crp_mega_shape=cfg.crp_mega_shape,
+            name="img_bev_encoder_backbone",
+        )
+        crp_logits = None
+        if cfg.crp3d:
+            voxel_outs, crp_logits = bev_backbone(voxel_feat, train=train)
+        else:
+            voxel_outs = bev_backbone(voxel_feat, train=train)
+        fused = SECONDFPN3D(
+            in_channels=cfg.voxel_channels,
+            out_channels=cfg.voxel_out_channels,
+            upsample_strides=cfg.fpn3d_upsample_strides,
+            norm_groups=cfg.norm_groups,
+            name="img_bev_encoder_neck",
+        )(voxel_outs, train=train)
+
+        head_out = OccHead(
+            in_channels=[sum(cfg.voxel_out_channels)],
+            out_channel=cfg.out_channel,
+            num_level=1,
+            norm_groups=cfg.norm_groups,
+            name="pts_bbox_head",
+        )([fused], train=train)
+
+        return {
+            "output_voxels": head_out["output_voxels"],
+            "output_points": head_out["output_points"],
+            "depth_prob": depth_prob,
+            "img_feats": feat_left,
+            "imgseg_logits": imgseg_logits,
+            "crp_logits": crp_logits,
+        }

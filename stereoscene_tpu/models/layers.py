@@ -1,0 +1,287 @@
+"""Common building blocks with torch-equivalent semantics, channels-last.
+
+These wrap flax.linen so that every parameterized op has a well-defined
+correspondence to the reference's torch modules (needed by the torch->JAX
+checkpoint converter in utils/checkpoint_convert.py):
+
+- ``Conv`` / ``Conv3d``: explicit symmetric integer padding (torch style) or
+  'SAME' (TF-style adaptive padding used by the EfficientNet stem,
+  ref: efficientnet.py:374 ``Conv2dAdaptivePadding``).
+- ``ConvTransposeTorch``: exact torch ConvTranspose semantics
+  (output = (i-1)s - 2p + k + op) via lhs-dilated convolution with a
+  spatially flipped kernel.
+- ``GroupNorm`` / ``BatchNorm``: flax modules with torch eps/momentum
+  conventions (torch momentum m == flax momentum 1-m).
+- ``SELayer``: the BEVDepth camera-aware squeeze-excite
+  (ref: ViewTransformerLSSBEVDepth.py:442-454) — both 1x1 convs keep full
+  channel width and the gate multiplies the *feature* map by the gated
+  *camera embedding* path.
+- ``Mlp``: two linear layers + ReLU (ref: ViewTransformerLSSBEVDepth.py:417-439).
+- ``DropPath``: per-sample stochastic depth (ref: efficientnet.py drop_path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _tuple(v, n):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == n
+        return tuple(v)
+    return (v,) * n
+
+
+class ConvNd(nn.Module):
+    """Torch-style convolution: integer padding means symmetric zero pad.
+
+    Weight param name 'kernel' with shape [*k, Cin/groups, Cout]."""
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    ndim: int = 2
+    stride: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int], str] = 0
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _tuple(self.kernel_size, self.ndim)
+        s = _tuple(self.stride, self.ndim)
+        if isinstance(self.padding, str):
+            pad = self.padding
+        else:
+            p = _tuple(self.padding, self.ndim)
+            pad = [(pi, pi) for pi in p]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=k,
+            strides=s,
+            padding=pad,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+def Conv2d(features, kernel_size, stride=1, padding=0, groups=1, use_bias=True,
+           dtype=None, name=None):
+    return ConvNd(features=features, kernel_size=kernel_size, ndim=2,
+                  stride=stride, padding=padding, groups=groups,
+                  use_bias=use_bias, dtype=dtype, name=name)
+
+
+def Conv3d(features, kernel_size, stride=1, padding=0, groups=1, use_bias=True,
+           dtype=None, name=None):
+    return ConvNd(features=features, kernel_size=kernel_size, ndim=3,
+                  stride=stride, padding=padding, groups=groups,
+                  use_bias=use_bias, dtype=dtype, name=name)
+
+
+class ConvTransposeTorch(nn.Module):
+    """Transposed convolution with exact torch output semantics.
+
+    out_size = (in - 1) * stride - 2 * padding + kernel + output_padding
+    Implemented as an lhs-dilated convolution with a spatially flipped
+    kernel, which is the algebraic definition of torch's ConvTranspose.
+    Used by the 3D hourglass decoders (ref: ViewTransformerLSSVoxel.py:81-86)
+    and SECONDFPN upsampling (ref: necks/second_fpn_3d.py:49-72).
+    """
+
+    features: int
+    kernel_size: Union[int, Sequence[int]]
+    ndim: int = 3
+    stride: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 0
+    output_padding: Union[int, Sequence[int]] = 0
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = _tuple(self.kernel_size, self.ndim)
+        s = _tuple(self.stride, self.ndim)
+        p = _tuple(self.padding, self.ndim)
+        op = _tuple(self.output_padding, self.ndim)
+        in_features = x.shape[-1]
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (*k, in_features, self.features),
+            jnp.float32,
+        )
+        spatial_axes = tuple(range(self.ndim))
+        flipped = jnp.flip(kernel, axis=spatial_axes)
+
+        pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(self.ndim)]
+        dim_chars = "DHW"[-self.ndim:]
+        spec = (f"N{dim_chars}C", f"{dim_chars}IO", f"N{dim_chars}C")
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            flipped.astype(dtype),
+            window_strides=(1,) * self.ndim,
+            padding=pad,
+            lhs_dilation=s,
+            dimension_numbers=spec,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with torch defaults (eps 1e-5, affine). Stats in fp32."""
+
+    num_groups: int
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        y = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch momentum convention (torch m -> flax 1-m)."""
+
+    epsilon: float = 1e-5
+    torch_momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        orig_dtype = x.dtype
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.torch_momentum,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(orig_dtype)
+
+
+class Mlp(nn.Module):
+    """Linear -> act -> Linear (ref: ViewTransformerLSSBEVDepth.py:417-439).
+    Dropout rates are 0 in every reference instantiation."""
+
+    hidden_features: int
+    out_features: int
+    act: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.out_features, name="fc2")(x)
+        return x
+
+
+class SELayer(nn.Module):
+    """Camera-aware SE: gate feature map x by a transformed embedding x_se.
+
+    ref: ViewTransformerLSSBEVDepth.py:442-454. Both convs are 1x1 at full
+    width; ``x_se`` enters as [B, C] (broadcast over space).
+    """
+
+    channels: int
+    act: Callable = nn.relu
+    gate: Callable = nn.sigmoid
+
+    @nn.compact
+    def __call__(self, x, x_se):
+        # x: [B, H, W, C]; x_se: [B, C]
+        se = nn.Dense(self.channels, name="conv_reduce")(x_se)
+        se = self.act(se)
+        se = nn.Dense(self.channels, name="conv_expand")(se)
+        gate = self.gate(se)
+        return x * gate[:, None, None, :].astype(x.dtype)
+
+
+class EffSELayer(nn.Module):
+    """EfficientNet-style self squeeze-excite: global pool -> reduce ->
+    expand -> sigmoid gate (ref: efficientnet.py se_cfg usage; mmdet SELayer
+    with ratio = expand_ratio * se_ratio, divisor removed)."""
+
+    channels: int
+    squeeze_channels: int
+    act: Callable = nn.swish
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, C]
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        se = nn.Dense(self.squeeze_channels, name="conv1")(pooled.astype(x.dtype))
+        se = self.act(se)
+        se = nn.Dense(self.channels, name="conv2")(se)
+        return x * nn.sigmoid(se)[:, None, None, :].astype(x.dtype)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class ConvGNReLU(nn.Module):
+    """Conv -> GroupNorm -> ReLU, the stereofeature/DepthNet reduce pattern
+    (ref: ViewTransformerLSSVoxel.py:38-47 with GN num_groups=2)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    num_groups: int = 2
+    ndim: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvNd(
+            features=self.features, kernel_size=self.kernel_size, ndim=self.ndim,
+            stride=self.stride, padding=self.padding, name="conv",
+        )(x)
+        x = GroupNorm(num_groups=self.num_groups, name="gn")(x)
+        return nn.relu(x)
+
+
+class ConvGN3d(nn.Module):
+    """conv3d (no bias) + GroupNorm — the ``convbn_3d`` unit of the stereo
+    cost aggregation (ref: ViewTransformerLSSVoxel.py:66-69, GN groups=2)."""
+
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 1
+    num_groups: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvNd(
+            features=self.features, kernel_size=self.kernel_size, ndim=3,
+            stride=self.stride, padding=self.padding, use_bias=False,
+            name="conv",
+        )(x)
+        return GroupNorm(num_groups=self.num_groups, name="gn")(x)

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Evaluation / submission CLI.
+
+Equivalent of the reference ``tools/test.py`` + ``custom_single_gpu_test``
+(ref: occupancy/apis/test.py:66-139): runs jitted inference over the chosen
+split, streams SSC metrics, prints the per-class table, and optionally
+writes SemanticKITTI benchmark submission ``.label`` files (argmax ->
+inverse label map, ref test.py:49-64).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a stereoscene_tpu model")
+    p.add_argument("config")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir (work_dir/ckpts)")
+    p.add_argument("--split", default="val", choices=["val", "test", "test_submit"])
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--submission-dir", default=None,
+                   help="write benchmark .label files here")
+    p.add_argument("--save-pred-dir", default=None,
+                   help="dump per-frame predicted voxel grids as .npy")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereoscene_tpu.config import Config
+    from stereoscene_tpu.data import (
+        BatchLoader,
+        PipelineConfig,
+        SemanticKittiIndex,
+        SemanticKittiPipeline,
+        inv_map,
+    )
+    from stereoscene_tpu.engine.eval import make_eval_step
+    from stereoscene_tpu.engine.loop import run_evaluation
+    from stereoscene_tpu.models.detector import BEVDepthOccupancy, DetectorConfig
+
+    cfg = Config.fromfile(args.config)
+    det_cfg = DetectorConfig.from_config(cfg)
+    model = BEVDepthOccupancy(cfg=det_cfg)
+
+    data_cfg = cfg["data"]["val" if args.split == "val" else "test"]
+    pipe_cfg = PipelineConfig(
+        input_size=tuple(cfg["data_config"]["input_size"]),
+        is_train=False,
+        point_cloud_range=tuple(cfg["point_cloud_range"]),
+    )
+    index = SemanticKittiIndex(
+        data_root=data_cfg["data_root"],
+        ann_file=data_cfg["ann_file"],
+        split=args.split,
+    )
+    if len(index) == 0:
+        raise SystemExit(f"no frames for split {args.split}")
+    loader = BatchLoader(
+        index.frames, SemanticKittiPipeline(pipe_cfg),
+        batch_size=args.batch_size, shuffle=False, drop_last=False,
+        num_workers=4,
+    )
+
+    # init / restore parameters
+    example = next(iter(loader))
+    example_one = jax.tree.map(lambda x: x[:1], example)
+    variables = jax.jit(lambda k: model.init(k, example_one, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    if args.checkpoint:
+        from stereoscene_tpu.engine.checkpoint import CheckpointManager
+        from stereoscene_tpu.engine.train import create_train_state
+
+        state = create_train_state(model, variables)
+        mgr = CheckpointManager(args.checkpoint)
+        state, step = mgr.restore(state)
+        print(f"restored checkpoint step {step}")
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+    eval_step = make_eval_step(model, tuple(cfg["occ_size"]))
+
+    if args.submission_dir or args.save_pred_dir:
+        lut = inv_map()
+        jitted = jax.jit(
+            lambda v, b: eval_step(v, b, __import__(
+                "stereoscene_tpu.metrics", fromlist=["empty_state"]
+            ).empty_state())[0]
+        )
+        for i, batch in enumerate(loader):
+            preds = np.asarray(jitted(variables, batch))
+            for j in range(preds.shape[0]):
+                frame = index.frames[i * args.batch_size + j]
+                if args.save_pred_dir:
+                    os.makedirs(args.save_pred_dir, exist_ok=True)
+                    np.save(
+                        os.path.join(
+                            args.save_pred_dir,
+                            f"{frame.sequence}_{frame.frame_id}.npy",
+                        ),
+                        preds[j].astype(np.uint8),
+                    )
+                if args.submission_dir:
+                    out_dir = os.path.join(
+                        args.submission_dir, "sequences", frame.sequence,
+                        "predictions",
+                    )
+                    os.makedirs(out_dir, exist_ok=True)
+                    raw = lut[preds[j].reshape(-1)].astype(np.uint16)
+                    raw.tofile(
+                        os.path.join(out_dir, frame.frame_id + ".label")
+                    )
+        print("wrote predictions")
+        return
+
+    results = run_evaluation(model, variables, eval_step, loader)
+    print("\nSemanticKITTI SSC Evaluation")
+    for k, v in results.items():
+        print(f"  {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
