@@ -224,19 +224,36 @@ def make_train_step(
     model,
     loss_cfg: LossConfig,
     axis_name: Optional[str] = None,
+    bf16: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, logs). Designed to be
     wrapped in jax.jit with shardings (batch sharded over 'data', state
-    replicated) — XLA inserts the gradient all-reduce automatically."""
+    replicated) — XLA inserts the gradient all-reduce automatically.
+
+    ``bf16=True`` is the mixed-precision policy (the reference's fp16 path,
+    ref tools/fp16/train.py + Fp16OptimizerHook mmdet_train.py:130-138):
+    fp32 master params are cast to bf16 for the forward/backward; losses,
+    normalization statistics, and softmaxes stay fp32 inside the model."""
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
-            variables = {"params": params}
+            if bf16:
+                apply_params = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x,
+                    params,
+                )
+                batch_c = dict(batch)
+                batch_c["imgs"] = batch["imgs"].astype(jnp.bfloat16)
+            else:
+                apply_params = params
+                batch_c = batch
+            variables = {"params": apply_params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             outputs, mutated = model.apply(
                 variables,
-                batch,
+                batch_c,
                 train=True,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"] if state.batch_stats else [],

@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--deterministic-data", action="store_true")
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 forward/backward with fp32 master params "
+                        "(the reference's fp16 path)")
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--coordinator", default=None,
@@ -149,7 +152,7 @@ def main():
         downsample=det_cfg.downsample,
         dbound=det_cfg.dbound,
     )
-    train_step = make_train_step(model, loss_cfg)
+    train_step = make_train_step(model, loss_cfg, bf16=args.bf16)
     mesh = make_mesh()
 
     # eval closure (every `evaluation.interval` epochs)
