@@ -77,29 +77,41 @@ def main():
     b = 1
     batch = make_flagship_batch(cfg, b)
 
-    # init on host CPU (local compile), then ship bf16 params to the TPU
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        cpu_batch = jax.tree.map(
-            lambda x: jnp.asarray(np.asarray(x), device=cpu), batch
-        )
-        t0 = time.time()
-        variables = jax.jit(
-            lambda k: model.init(k, cpu_batch, train=False)
-        )(jax.random.PRNGKey(0))
-        jax.block_until_ready(variables)
-    print(f"# init on cpu: {time.time() - t0:.1f}s", flush=True)
-    tpu = jax.devices()[0]
+    # Throughput benchmark: parameter *values* are irrelevant, so build the
+    # variables tree from eval_shape with cheap host randomness instead of
+    # running the real init graph (which costs minutes of XLA compile).
+    t0 = time.time()
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, batch, train=False), jax.random.PRNGKey(0)
+    )
+    host_rng = np.random.RandomState(0)
+
+    def fill(path, leaf):
+        name = "/".join(str(p) for p in path).lower()
+        shape = leaf.shape
+        if leaf.dtype == jnp.uint32:  # rng keys in state collections
+            return np.zeros(shape, np.uint32)
+        if "scale" in name or "var" in name:
+            arr = np.ones(shape, np.float32)
+        elif "bias" in name or "mean" in name or "gamma" in name:
+            arr = np.zeros(shape, np.float32)
+        else:
+            fan_in = int(np.prod(shape[:-1])) or 1
+            arr = host_rng.randn(*shape).astype(np.float32) / np.sqrt(fan_in)
+        return arr
+
+    variables = jax.tree_util.tree_map_with_path(fill, shapes)
     variables = jax.device_put(
         jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if x.dtype == jnp.float32
-            else x,
+            lambda x: jnp.asarray(x, dtype=jnp.bfloat16)
+            if x.dtype == np.float32
+            else jnp.asarray(x),
             variables,
         ),
-        tpu,
+        jax.devices()[0],
     )
     jax.block_until_ready(variables)
+    print(f"# variables ready: {time.time() - t0:.1f}s", flush=True)
 
     # staged forward
     @jax.jit
@@ -138,14 +150,62 @@ def main():
     jax.block_until_ready(pred)
     print(f"# stage_bev compiled: {time.time() - t0:.1f}s", flush=True)
 
-    # steady-state timing
+    # Per-stage steady-state latency (the reference's record_time table,
+    # ref bevdepth_occupancy.py:252-263).
+    #
+    # NOTE on methodology: on tunneled backends ``block_until_ready`` can
+    # return before execution (a 1 TFLOP matmul "measures" 100x chip peak),
+    # so every timing below chains each iteration's input on the previous
+    # output and stops the clock only after fetching a scalar to host.
+    def timeit(fn, make_args, reduce_out, iters=20):
+        feedback = 0.0
+        out = fn(*make_args(feedback))
+        _ = float(reduce_out(out))
+        t0 = time.perf_counter()
+        feedback = 0.0
+        for _ in range(iters):
+            out = fn(*make_args(feedback))
+            feedback = reduce_out(out) * 0
+        _ = float(feedback)
+        return (time.perf_counter() - t0) / iters * 1000
+
+    t_img = timeit(
+        stage_images,
+        lambda fb: (variables, batch["imgs"] + jnp.asarray(fb, batch["imgs"].dtype)),
+        lambda out: jnp.max(jnp.abs(out[0].astype(jnp.float32))),
+    )
+    t_view = timeit(
+        stage_view,
+        lambda fb: (variables, fl + jnp.asarray(fb, fl.dtype), fr, batch),
+        lambda out: jnp.max(jnp.abs(out[0].astype(jnp.float32))),
+    )
+    t_bev = timeit(
+        stage_bev,
+        lambda fb: (variables, voxel_feat + jnp.asarray(fb, voxel_feat.dtype)),
+        lambda out: jnp.max(out).astype(jnp.float32),
+    )
+    print(
+        f"# stage ms: images {t_img:.2f}, view {t_view:.2f}, "
+        f"bev {t_bev:.2f}",
+        flush=True,
+    )
+
+    # steady-state timing with chained data dependencies: each iteration's
+    # input depends on the previous prediction and the final scalar is
+    # fetched to host, so the device must execute every step before the
+    # clock stops (robust against async-dispatch/relay timing artifacts)
     pred = forward(batch)
     jax.block_until_ready(pred)
     iters = 10
+    imgs0 = batch["imgs"]
     t0 = time.perf_counter()
+    feedback = jnp.zeros((), imgs0.dtype)
     for _ in range(iters):
-        pred = forward(batch)
-    jax.block_until_ready(pred)
+        chained = dict(batch)
+        chained["imgs"] = imgs0 + feedback
+        pred = forward(chained)
+        feedback = (jnp.max(pred) * 0).astype(imgs0.dtype)
+    _ = float(feedback)  # host fetch forces completion of the whole chain
     dt = time.perf_counter() - t0
 
     fps = b * iters / dt

@@ -46,6 +46,12 @@ class PipelineConfig:
     load_lidar_depth: bool = False
     max_points: int = 65536  # static shape for points_occ/points_uv
     point_cloud_range: Tuple[float, ...] = (0, -25.6, -2, 51.2, 25.6, 4.4)
+    # BEV data augmentation (ref loading_semkitti.py:358-402; apply_bda
+    # defaults False in the active config)
+    apply_bda: bool = False
+    bda_rot_lim: Tuple[float, float] = (-22.5, 22.5)
+    bda_flip_dx_ratio: float = 0.5
+    bda_flip_dy_ratio: float = 0.5
 
 
 def sample_augmentation(
@@ -182,8 +188,29 @@ class SemanticKittiPipeline:
             "calib": np.float32(frame.calib),
         }
 
-        if frame.voxel_path is not None:
-            sample["gt_occ"] = np.load(frame.voxel_path).astype(np.int32)
+        gt_occ = (
+            np.load(frame.voxel_path).astype(np.int32)
+            if frame.voxel_path is not None
+            else None
+        )
+
+        if cfg.apply_bda and cfg.is_train:
+            from .augment import bev_transform_labels, bev_transform_matrix
+
+            rot_deg = self.rng.uniform(*cfg.bda_rot_lim)
+            flip_dx = self.rng.rand() < cfg.bda_flip_dx_ratio
+            flip_dy = self.rng.rand() < cfg.bda_flip_dy_ratio
+            pc = np.asarray(cfg.point_cloud_range, np.float32)
+            center = (pc[:3] + pc[3:]) / 2.0
+            bda4 = bev_transform_matrix(rot_deg, flip_dx, flip_dy, center)
+            sample["bda"] = bda4.astype(np.float32)  # [4, 4]
+            if gt_occ is not None:
+                gt_occ = bev_transform_labels(
+                    gt_occ.astype(np.uint8), rot_deg, flip_dx, flip_dy
+                ).astype(np.int32)
+
+        if gt_occ is not None:
+            sample["gt_occ"] = gt_occ
 
         if cfg.load_lidar_depth and frame.lidar_path is not None:
             sample.update(self._lidar_products(frame, sample))

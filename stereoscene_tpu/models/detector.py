@@ -131,6 +131,10 @@ class DetectorConfig:
 
 class BEVDepthOccupancy(nn.Module):
     cfg: DetectorConfig
+    # optional sharding-constraint hook applied to the pooled voxel features
+    # (spatial sharding of the grid for high-res variants; see
+    # parallel/spatial.py). Must be a jit-traceable callable or None.
+    voxel_constraint: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -264,6 +268,8 @@ class BEVDepthOccupancy(nn.Module):
         voxel_feat, depth_prob = self.view_transform(
             feat_left, feat_right, batch, train=train
         )
+        if self.voxel_constraint is not None:
+            voxel_feat = self.voxel_constraint(voxel_feat)
         head_out, crp_logits = self.bev_encode(voxel_feat, train=train)
 
         return {

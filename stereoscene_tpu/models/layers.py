@@ -156,6 +156,16 @@ class GroupNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+import os
+
+# Performance escape hatch: by default BatchNorm computes in fp32 (matching
+# the reference's force_fp32 islands). In inference BN is an affine map, so
+# bf16 is numerically safe; set STEREOSCENE_BN_COMPUTE=bf16 to keep the
+# activation dtype through BN (saves 2x HBM traffic when XLA can't fuse the
+# converts into the conv epilogue).
+_BN_KEEP_DTYPE = os.environ.get("STEREOSCENE_BN_COMPUTE", "fp32") == "bf16"
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch momentum convention (torch m -> flax 1-m)."""
 
@@ -165,6 +175,13 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         orig_dtype = x.dtype
+        if _BN_KEEP_DTYPE and not train:
+            return nn.BatchNorm(
+                use_running_average=True,
+                momentum=1.0 - self.torch_momentum,
+                epsilon=self.epsilon,
+                dtype=orig_dtype,
+            )(x)
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=1.0 - self.torch_momentum,
