@@ -1,9 +1,5 @@
-import time, numpy as np, jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-import jax.numpy as jnp
-from stereoscene_tpu.models.efficientnet import CustomEfficientNet
-
 def rand_vars(module, x):
+    import numpy as np, jax, jax.numpy as jnp
     shapes = jax.eval_shape(lambda k: module.init(k, x, train=False), jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     def fill(path, leaf):
@@ -19,20 +15,18 @@ def rand_vars(module, x):
         jax.devices()[0])
 
 def chained_time(fn, x, iters=8):
-    out = fn(x); _ = float(jnp.max(jnp.abs(out[-1].astype(jnp.float32))))
+    import time, jax.numpy as jnp
+    fb = 0.0
+    for _ in range(6):  # warm-up: first executions after compile are slow
+        out = fn(x + jnp.asarray(fb, x.dtype))
+        res = out[-1] if isinstance(out, (tuple, list)) else out
+        fb = jnp.max(jnp.abs(res.astype(jnp.float32))) * 0
+    _ = float(fb)
     fb = 0.0
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(x + jnp.asarray(fb, x.dtype))
-        fb = jnp.max(jnp.abs(out[-1].astype(jnp.float32))) * 0
+        res = out[-1] if isinstance(out, (tuple, list)) else out
+        fb = jnp.max(jnp.abs(res.astype(jnp.float32))) * 0
     _ = float(fb)
     return (time.perf_counter()-t0)/iters*1000
-
-x = jnp.asarray(np.random.randn(2,384,1280,3).astype(np.float32), jnp.bfloat16)
-for cp in (False, True):
-    bb = CustomEfficientNet(arch='b7', out_indices=(2,3,4,5,6),
-                            drop_path_rate=0.2, with_cp=cp)
-    v = rand_vars(bb, x)
-    f = jax.jit(lambda vv, xx: bb.apply(vv, xx, train=False))
-    t = chained_time(lambda xx: f(v, xx), x)
-    print(f"with_cp={cp}: {t:.1f} ms", flush=True)

@@ -72,7 +72,9 @@ def main():
     from stereoscene_tpu.models.detector import BEVDepthOccupancy, DetectorConfig
     from stereoscene_tpu.ops.resize import resize_trilinear
 
-    cfg = DetectorConfig()
+    # inference config: activation checkpointing off (remat only pays during
+    # training; measured ~30% slower forward)
+    cfg = DetectorConfig(backbone_with_cp=False)
     model = BEVDepthOccupancy(cfg=cfg)
     b = 1
     batch = make_flagship_batch(cfg, b)
@@ -158,16 +160,17 @@ def main():
     # so every timing below chains each iteration's input on the previous
     # output and stops the clock only after fetching a scalar to host.
     def timeit(fn, make_args, reduce_out, iters=20):
-        feedback = 0.0
-        out = fn(*make_args(feedback))
-        _ = float(reduce_out(out))
-        t0 = time.perf_counter()
-        feedback = 0.0
-        for _ in range(iters):
-            out = fn(*make_args(feedback))
-            feedback = reduce_out(out) * 0
-        _ = float(feedback)
-        return (time.perf_counter() - t0) / iters * 1000
+        def loop(n):
+            feedback = 0.0
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*make_args(feedback))
+                feedback = reduce_out(out) * 0
+            _ = float(feedback)
+            return (time.perf_counter() - t0) / n * 1000
+
+        loop(5)  # warm-up: first executions after compile are ~1s slower
+        return loop(iters)
 
     t_img = timeit(
         stage_images,
@@ -194,19 +197,22 @@ def main():
     # input depends on the previous prediction and the final scalar is
     # fetched to host, so the device must execute every step before the
     # clock stops (robust against async-dispatch/relay timing artifacts)
-    pred = forward(batch)
-    jax.block_until_ready(pred)
-    iters = 10
     imgs0 = batch["imgs"]
-    t0 = time.perf_counter()
-    feedback = jnp.zeros((), imgs0.dtype)
-    for _ in range(iters):
-        chained = dict(batch)
-        chained["imgs"] = imgs0 + feedback
-        pred = forward(chained)
-        feedback = (jnp.max(pred) * 0).astype(imgs0.dtype)
-    _ = float(feedback)  # host fetch forces completion of the whole chain
-    dt = time.perf_counter() - t0
+
+    def full_loop(iters):
+        t0 = time.perf_counter()
+        feedback = jnp.zeros((), imgs0.dtype)
+        for _ in range(iters):
+            chained = dict(batch)
+            chained["imgs"] = imgs0 + feedback
+            pred = forward(chained)
+            feedback = (jnp.max(pred) * 0).astype(imgs0.dtype)
+        _ = float(feedback)  # host fetch forces completion of the chain
+        return time.perf_counter() - t0
+
+    full_loop(3)  # warm-up
+    iters = 20
+    dt = full_loop(iters)
 
     fps = b * iters / dt
     print(
