@@ -143,13 +143,23 @@ class ConvTransposeTorch(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm with torch defaults (eps 1e-5, affine). Stats in fp32."""
+    """GroupNorm with torch defaults (eps 1e-5, affine).
+
+    Default: full fp32 compute (the reference's force_fp32 islands). With
+    STEREOSCENE_GN_COMPUTE=bf16 the elementwise normalize/affine stays in
+    the activation dtype while flax still reduces the statistics in fp32 —
+    halves HBM traffic on the big 3D volumes when XLA can't fuse the casts.
+    """
 
     num_groups: int
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        if _NORM_KEEP_DTYPE:
+            return nn.GroupNorm(
+                num_groups=self.num_groups, epsilon=1e-5, dtype=orig_dtype
+            )(x)
         y = nn.GroupNorm(
             num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32
         )(x.astype(jnp.float32))
@@ -164,6 +174,7 @@ import os
 # activation dtype through BN (saves 2x HBM traffic when XLA can't fuse the
 # converts into the conv epilogue).
 _BN_KEEP_DTYPE = os.environ.get("STEREOSCENE_BN_COMPUTE", "fp32") == "bf16"
+_NORM_KEEP_DTYPE = os.environ.get("STEREOSCENE_GN_COMPUTE", "fp32") == "bf16"
 
 
 class BatchNorm(nn.Module):
