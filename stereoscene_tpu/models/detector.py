@@ -126,6 +126,7 @@ class DetectorConfig:
             out_channel=head["out_channel"],
             resnet_depth=bev_bb["depth"],
             use_grid_mask=model.get("use_grid_mask", False),
+            norm_groups=bev_bb.get("norm_cfg", {}).get("num_groups", 32),
         )
 
 

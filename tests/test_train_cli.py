@@ -1,0 +1,103 @@
+"""End-to-end CLI integration: tools/train.py + tools/test.py on the
+synthetic mini-KITTI fixture with the tiny config (catches config plumbing,
+loader, engine, and checkpoint bitrot in one shot)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.fixture(scope="module")
+def fixture_tree(tmp_path_factory):
+    from tests.test_data import CALIB_TXT
+    from PIL import Image
+
+    from stereoscene_tpu.data.preprocess import process_sequences
+
+    root = tmp_path_factory.mktemp("cli_kitti")
+    for seq, split_frames in (("00", ("000000", "000001")),
+                              ("08", ("000000",))):
+        seq_dir = root / "dataset" / "sequences" / seq
+        for sub in ("image_2", "image_3", "voxels", "velodyne", "labels"):
+            (seq_dir / sub).mkdir(parents=True, exist_ok=True)
+        (seq_dir / "calib.txt").write_text(CALIB_TXT)
+        rng = np.random.RandomState(0)
+        for fid in split_frames:
+            for cam in ("image_2", "image_3"):
+                arr = rng.randint(0, 255, (376, 1241, 3), np.uint8)
+                Image.fromarray(arr).save(seq_dir / cam / f"{fid}.png")
+            n = 256 * 256 * 32
+            labels = rng.choice(
+                [0, 10, 40], size=n, p=[0.9, 0.05, 0.05]
+            ).astype(np.uint16)
+            labels.tofile(seq_dir / "voxels" / f"{fid}.label")
+            np.packbits((rng.rand(n) < 0.1).astype(np.uint8)).tofile(
+                seq_dir / "voxels" / f"{fid}.invalid"
+            )
+            (seq_dir / "voxels" / f"{fid}.bin").write_bytes(b"\0")
+            pts = rng.uniform(-1, 1, (500, 4)).astype(np.float32)
+            pts[:, 0] = rng.uniform(3, 15, 500)
+            pts.tofile(seq_dir / "velodyne" / f"{fid}.bin")
+            rng.choice([10, 40], size=500).astype(np.uint32).tofile(
+                seq_dir / "labels" / f"{fid}.label"
+            )
+    out_root = root / "preproc"
+    process_sequences(str(root), str(out_root), sequences=["00", "08"],
+                      verbose=False)
+    return root, out_root
+
+
+def _write_config(tmp, root, out_root):
+    cfg_path = tmp / "cfg.py"
+    cfg_path.write_text(
+        f"""_base_ = ['{REPO}/stereoscene_tpu/configs/stereoscene_tiny.py']
+data_root = '{root}/'
+ann_file = '{out_root}/labels/'
+lidar_root = '{root}/dataset/sequences'
+lidarseg_root = '{root}/dataset/sequences'
+data = dict(
+    samples_per_gpu=1,
+    workers_per_gpu=1,
+    train=dict(data_root=data_root, ann_file=ann_file),
+    val=dict(data_root=data_root, ann_file=ann_file),
+    test=dict(data_root=data_root, ann_file=ann_file),
+)
+"""
+    )
+    return cfg_path
+
+
+def test_train_and_test_cli(fixture_tree, tmp_path):
+    root, out_root = fixture_tree
+    cfg_path = _write_config(tmp_path, root, out_root)
+    work_dir = tmp_path / "work"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         str(cfg_path), "--work-dir", str(work_dir), "--max-epochs", "1",
+         "--batch-size", "2"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (work_dir / "train_log.jsonl").exists()
+    log = (work_dir / "train_log.jsonl").read_text()
+    assert "loss_total" in log
+    assert (work_dir / "ckpts").exists()
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"),
+         str(cfg_path), "--checkpoint", str(work_dir / "ckpts"),
+         "--split", "val"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "semkitti_SC_IoU" in r.stdout
+    assert "semkitti_combined_IoU" in r.stdout
