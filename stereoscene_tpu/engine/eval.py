@@ -28,12 +28,19 @@ def make_eval_step(model, gt_shape: Tuple[int, int, int] = (256, 256, 32)):
     def eval_step(variables, batch, metric_state):
         outputs = model.apply(variables, batch, train=False)
         logits = outputs["output_voxels"][0].astype(jnp.float32)
-        if logits.shape[1:4] != tuple(gt_shape):
-            logits = resize_trilinear(logits, gt_shape)
-        pred = jnp.argmax(logits, axis=-1)
-        new_state = ssc_metrics.update_state(
-            metric_state, pred, batch["gt_occ"]
+        # upsample to the ground truth's grid (ref bevdepth_occupancy.py:
+        # 293-294 interpolates to gt_occ.shape); fall back to the configured
+        # occ_size when no labels ship with the batch (submission mode)
+        target = (
+            batch["gt_occ"].shape[1:4] if "gt_occ" in batch else tuple(gt_shape)
         )
-        return pred, new_state
+        if logits.shape[1:4] != tuple(target):
+            logits = resize_trilinear(logits, target)
+        pred = jnp.argmax(logits, axis=-1)
+        if "gt_occ" in batch:
+            metric_state = ssc_metrics.update_state(
+                metric_state, pred, batch["gt_occ"]
+            )
+        return pred, metric_state
 
     return eval_step

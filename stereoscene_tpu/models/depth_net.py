@@ -107,6 +107,32 @@ class DeformConvPack(nn.Module):
                              groups=self.groups)
 
 
+class DepthAggregation(nn.Module):
+    """Optional lifted-volume refinement net (ref:
+    ViewTransformerLSSBEVDepth.py:519-574, ``use_voxel_net`` path): the
+    lifted [*, C, W, D] slices are refined by a small residual conv stack in
+    fp32. Off in the scored config."""
+
+    mid_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [N, W, D, C] slices of the lifted volume
+        y = Conv2d(self.mid_channels, 3, padding=1, use_bias=False,
+                   name="reduce_conv")(x)
+        y = BatchNorm(name="reduce_bn")(y, train=train)
+        y = nn.relu(y)
+        short_cut = y
+        for i in range(2):
+            y = Conv2d(self.mid_channels, 3, padding=1, use_bias=False,
+                       name=f"conv{i}")(y)
+            y = BatchNorm(name=f"bn{i}")(y, train=train)
+            y = nn.relu(y)
+        y = y + short_cut
+        return Conv2d(self.out_channels, 3, padding=1, name="out_conv")(y)
+
+
 class DepthNet(nn.Module):
     """[B*N, H, W, Cin] + [B*N, cam_channels] -> [B*N, H, W, D + C_ctx]."""
 
