@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,8 @@ def run_training(
     log_interval: int = 50,
     seed: int = 0,
     profile: bool = False,
+    trace_dir: Optional[str] = None,
+    trace_steps: Tuple[int, int] = (10, 15),
 ) -> TrainState:
     logger = JsonlLogger(os.path.join(work_dir, "train_log.jsonl"))
     ckpt = CheckpointManager(os.path.join(work_dir, "ckpts"))
@@ -84,9 +86,18 @@ def run_training(
     steps_per_epoch = len(train_loader)
     start_epoch = int(start_step) // max(steps_per_epoch, 1)
 
+    global_it = 0
     for epoch in range(start_epoch, max_epochs):
         t_epoch = time.time()
         for it, batch in enumerate(train_loader):
+            # XLA profiler trace window (the reference's record_time /
+            # tb_trace profiler hook equivalent, SURVEY.md section 5)
+            if trace_dir is not None and global_it == trace_steps[0]:
+                jax.profiler.start_trace(trace_dir)
+            if trace_dir is not None and global_it == trace_steps[1]:
+                jax.profiler.stop_trace()
+            global_it += 1
+
             rng, step_rng = jax.random.split(rng)
             t0 = time.perf_counter() if profile else None
             state, logs = jitted_step(state, batch, step_rng)

@@ -32,6 +32,8 @@ def parse_args():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward with fp32 master params "
                         "(the reference's fp16 path)")
+    p.add_argument("--trace-dir", default=None,
+                   help="write an XLA profiler trace for steps 10-15")
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--coordinator", default=None,
@@ -191,6 +193,7 @@ def main():
         work_dir=work_dir,
         seed=args.seed,
         profile=args.profile,
+        trace_dir=args.trace_dir,
     )
 
 
