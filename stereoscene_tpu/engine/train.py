@@ -225,6 +225,7 @@ def make_train_step(
     loss_cfg: LossConfig,
     axis_name: Optional[str] = None,
     bf16: bool = False,
+    debug_grads: bool = False,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, logs). Designed to be
     wrapped in jax.jit with shardings (batch sharded over 'data', state
@@ -269,6 +270,16 @@ def make_train_step(
         state = state.apply_gradients(grads, new_batch_stats=new_stats)
         logs = dict(losses)
         logs["loss_total"] = total
+        if debug_grads:
+            # GradChecker-equivalent diagnostics
+            # (ref: models/hooks/hooks.py debug hooks)
+            leaves = jax.tree.leaves(grads)
+            logs["grad_norm"] = jnp.sqrt(
+                sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves)
+            )
+            logs["grad_nonfinite"] = sum(
+                jnp.sum(~jnp.isfinite(g.astype(jnp.float32))) for g in leaves
+            ).astype(jnp.float32)
         return state, logs
 
     return train_step
