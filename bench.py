@@ -25,6 +25,7 @@ that per v5e chip, i.e. vs_baseline >= 5).
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -113,7 +114,7 @@ def main():
         jax.devices()[0],
     )
     jax.block_until_ready(variables)
-    print(f"# variables ready: {time.time() - t0:.1f}s", flush=True)
+    print(f"# variables ready: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     # staged forward
     @jax.jit
@@ -142,15 +143,15 @@ def main():
     t0 = time.time()
     fl, fr = stage_images(variables, batch["imgs"])
     jax.block_until_ready(fl)
-    print(f"# stage_images compiled: {time.time() - t0:.1f}s", flush=True)
+    print(f"# stage_images compiled: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     voxel_feat, _ = stage_view(variables, fl, fr, batch)
     jax.block_until_ready(voxel_feat)
-    print(f"# stage_view compiled: {time.time() - t0:.1f}s", flush=True)
+    print(f"# stage_view compiled: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     pred = stage_bev(variables, voxel_feat)
     jax.block_until_ready(pred)
-    print(f"# stage_bev compiled: {time.time() - t0:.1f}s", flush=True)
+    print(f"# stage_bev compiled: {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     # Per-stage steady-state latency (the reference's record_time table,
     # ref bevdepth_occupancy.py:252-263).
@@ -190,6 +191,7 @@ def main():
     print(
         f"# stage ms: images {t_img:.2f}, view {t_view:.2f}, "
         f"bev {t_bev:.2f}",
+        file=sys.stderr,
         flush=True,
     )
 
