@@ -87,6 +87,50 @@ class HungarianAssigner3D:
         return hungarian_match(cost)
 
 
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    iou_threshold: float = 0.5,
+    max_out: int = 100,
+) -> jnp.ndarray:
+    """Axis-aligned 2D NMS, class-aware (the mmcv ``batched_nms`` equivalent
+    used by the maskformer alternates). Static-shape greedy suppression.
+
+    Args:
+      boxes: [N, 4] (x1, y1, x2, y2); scores: [N]; labels: [N].
+    Returns: keep mask [N] (top-scoring non-suppressed, at most max_out).
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    c = labels[order]
+
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    area = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0)
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-6)
+    same_class = c[:, None] == c[None, :]
+    suppress = (iou > iou_threshold) & same_class
+
+    def body(i, keep):
+        sup_by_kept = suppress[:, i] & keep[i] & (
+            jnp.arange(n) > i
+        )
+        return jnp.where(sup_by_kept, False, keep)
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
+    keep_sorted = keep_sorted & (rank < max_out)
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
 def decode_nms_free(
     cls_logits: jnp.ndarray,
     bbox_preds: jnp.ndarray,

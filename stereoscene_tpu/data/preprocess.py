@@ -78,6 +78,46 @@ def majority_downsample(grid: np.ndarray, k: int = 2) -> np.ndarray:
     return np.where(has_semantic, sem_major, empty_major).astype(np.uint8)
 
 
+def create_voxel_labels(
+    points: np.ndarray,
+    labels: np.ndarray,
+    grid_shape,
+    pc_range,
+) -> np.ndarray:
+    """Per-voxel majority vote from labeled points (the numba
+    ``nb_process_label`` / CreateVoxelLabels equivalent,
+    ref: datasets/pipelines/voxel_labels.py:16-63). Uses the native C++
+    kernel when available, else a vectorized numpy histogram.
+
+    Args:
+      points: [N, 3] xyz; labels: [N] int class ids.
+    Returns: [X, Y, Z] uint8 majority labels (0 where empty).
+    """
+    grid_shape = tuple(int(g) for g in grid_shape)
+    lo = np.asarray(pc_range[:3], np.float32)
+    hi = np.asarray(pc_range[3:], np.float32)
+    size = (hi - lo) / np.asarray(grid_shape, np.float32)
+    coords = np.floor((points - lo) / size).astype(np.int32)
+    valid = np.all((coords >= 0) & (coords < np.asarray(grid_shape)), axis=1)
+    coords = coords[valid]
+    labels = labels[valid].astype(np.int32)
+    num_classes = int(labels.max(initial=0)) + 1
+
+    from .. import native
+
+    if native.available():
+        return native.point_majority_vote(
+            coords, labels, grid_shape, num_classes
+        )
+
+    nx, ny, nz = grid_shape
+    vid = (coords[:, 0].astype(np.int64) * ny + coords[:, 1]) * nz + coords[:, 2]
+    hist = np.zeros((nx * ny * nz, num_classes), np.int32)
+    np.add.at(hist, (vid, labels), 1)
+    out = np.where(hist.sum(1) > 0, hist.argmax(1), 0)
+    return out.reshape(grid_shape).astype(np.uint8)
+
+
 def process_sequences(
     kitti_root: str,
     out_root: str,

@@ -71,3 +71,18 @@ def test_nms_free_decode():
         np.asarray(out["boxes"][0, 0, :3]), [5.0, -2.0, 0.5], atol=1e-5
     )
     assert bool(out["valid"][0, 0])
+
+
+def test_batched_nms():
+    from stereoscene_tpu.core.bbox3d import batched_nms
+
+    boxes = jnp.asarray([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],    # overlaps box 0, same class -> suppressed
+        [1, 1, 11, 11],    # overlaps box 0, DIFFERENT class -> kept
+        [50, 50, 60, 60],  # far away -> kept
+    ], dtype=jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.6])
+    labels = jnp.asarray([0, 0, 1, 0])
+    keep = np.asarray(batched_nms(boxes, scores, labels, iou_threshold=0.5))
+    np.testing.assert_array_equal(keep, [True, False, True, True])

@@ -158,3 +158,19 @@ def test_batch_loader(kitti_tree):
     assert len(batches) == 1
     assert batches[0]["imgs"].shape == (2, 2, 96, 320, 3)
     assert batches[0]["calib"].shape == (2,)
+
+
+def test_create_voxel_labels_majority():
+    from stereoscene_tpu.data.preprocess import create_voxel_labels
+
+    pts = np.array(
+        [[0.5, 0.5, 0.5], [0.6, 0.6, 0.4], [0.4, 0.5, 0.6], [3.5, 3.5, 1.5],
+         [99.0, 0.0, 0.0]],
+        np.float32,
+    )
+    labels = np.array([4, 4, 7, 2, 9], np.int32)
+    out = create_voxel_labels(pts, labels, (4, 4, 2), [0, 0, 0, 4, 4, 2])
+    assert out.shape == (4, 4, 2)
+    assert out[0, 0, 0] == 4   # majority of (4, 4, 7)
+    assert out[3, 3, 1] == 2
+    assert out.sum() == 4 + 2  # everything else empty; OOB point dropped
