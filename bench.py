@@ -15,22 +15,41 @@ compile for init.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``vs_baseline`` compares against an assumed reference throughput of 2.0
-frames/sec on an A100 (the reference publishes no throughput numbers —
-BASELINE.md; this is a conservative estimate for a GwcNet-style stereo
-volume + B7 model at this resolution; the BASELINE.json target is >= 5x
-that per v5e chip, i.e. vs_baseline >= 5).
+``vs_baseline`` divides by the reference's derived A100 throughput, read
+from the ``reference_a100_fps:`` line of BASELINE.md (see its "Reference
+A100 throughput derivation" section: analytic 3.93 TFLOP/frame forward ÷
+A100 TF32 peak at a stated 5% eager-torch utilization ≈ 2.0 fps; the
+BASELINE.json target is >= 5x that per v5e chip, i.e. vs_baseline >= 5).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
 import time
 
 import numpy as np
 
-ASSUMED_A100_FPS = 2.0
+
+def reference_a100_fps() -> float:
+    """Parse the derived denominator from BASELINE.md (single source of
+    truth for the vs_baseline ratio)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    try:
+        with open(path) as f:
+            m = re.search(r"^reference_a100_fps:\s*([0-9.]+)", f.read(),
+                          re.MULTILINE)
+        if m:
+            return float(m.group(1))
+    except OSError:
+        pass
+    return 2.0
+
+
+ASSUMED_A100_FPS = reference_a100_fps()
 
 
 def make_flagship_batch(cfg, b=1, dtype=None):

@@ -14,11 +14,22 @@ pipeline + double-buffered device prefetch:
 
 from __future__ import annotations
 
+import inspect
 import queue
 import threading
 from typing import Callable, Iterator, List, Optional
 
 import numpy as np
+
+
+def _accepts_seed(pipeline: Callable) -> bool:
+    try:
+        sig = inspect.signature(
+            pipeline.__call__ if not inspect.isfunction(pipeline) else pipeline
+        )
+    except (TypeError, ValueError):
+        return False
+    return "seed" in sig.parameters
 
 
 class BatchLoader:
@@ -44,6 +55,11 @@ class BatchLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.epoch = 0
+        # Deterministic per-sample augmentation seeds: pipelines whose
+        # __call__ accepts ``seed`` get one derived from (loader seed, epoch,
+        # sample index), making augmentation draws reproducible and
+        # independent of worker-thread scheduling.
+        self._pipeline_takes_seed = _accepts_seed(pipeline)
 
     def __len__(self):
         n = len(self.frames)
@@ -59,6 +75,7 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator:
         order = self._epoch_order()
+        epoch = self.epoch
         self.epoch += 1
         batches = [
             order[i : i + self.batch_size]
@@ -82,7 +99,18 @@ class BatchLoader:
                     i, idxs = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.pipeline(self.frames[j]) for j in idxs]
+                if self._pipeline_takes_seed:
+                    samples = [
+                        self.pipeline(
+                            self.frames[j],
+                            seed=(
+                                self.seed * 1000003 + epoch * 131071 + int(j)
+                            ) % (2**31 - 1),
+                        )
+                        for j in idxs
+                    ]
+                else:
+                    samples = [self.pipeline(self.frames[j]) for j in idxs]
                 keys = samples[0].keys()
                 batch = {k: np.stack([s[k] for s in samples]) for k in keys}
                 with results_lock:

@@ -142,22 +142,31 @@ def project_lidar_to_image(
 
 
 class SemanticKittiPipeline:
-    """FrameInfo -> model batch sample (numpy dict)."""
+    """FrameInfo -> model batch sample (numpy dict).
+
+    Thread-safety/reproducibility: ``BatchLoader`` runs this from several
+    worker threads concurrently and passes a deterministic per-sample
+    ``seed`` (derived from loader seed + epoch + sample position), so every
+    augmentation draw is independent of thread scheduling. The fallback
+    ``self.rng`` is only used for direct single-threaded calls."""
 
     def __init__(self, cfg: PipelineConfig, seed: int = 0):
         self.cfg = cfg
         self.rng = np.random.RandomState(seed)
         self._seg_lut = seg_remap_lut()
 
-    def __call__(self, frame: FrameInfo) -> Dict[str, np.ndarray]:
+    def __call__(
+        self, frame: FrameInfo, seed: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
         from PIL import Image
 
         cfg = self.cfg
+        rng = self.rng if seed is None else np.random.RandomState(seed)
         img_l = Image.open(frame.img_left_path).convert("RGB")
         img_r = Image.open(frame.img_right_path).convert("RGB")
 
         # one augmentation draw shared by both eyes (ref :248)
-        aug = sample_augmentation(cfg, img_l.height, img_l.width, self.rng)
+        aug = sample_augmentation(cfg, img_l.height, img_l.width, rng)
         resize, resize_dims, crop, flip, rotate = aug
 
         imgs, post_rots, post_trans, rots, trans, intrins = [], [], [], [], [], []
@@ -197,9 +206,9 @@ class SemanticKittiPipeline:
         if cfg.apply_bda and cfg.is_train:
             from .augment import bev_transform_labels, bev_transform_matrix
 
-            rot_deg = self.rng.uniform(*cfg.bda_rot_lim)
-            flip_dx = self.rng.rand() < cfg.bda_flip_dx_ratio
-            flip_dy = self.rng.rand() < cfg.bda_flip_dy_ratio
+            rot_deg = rng.uniform(*cfg.bda_rot_lim)
+            flip_dx = rng.rand() < cfg.bda_flip_dx_ratio
+            flip_dy = rng.rand() < cfg.bda_flip_dy_ratio
             pc = np.asarray(cfg.point_cloud_range, np.float32)
             center = (pc[:3] + pc[3:]) / 2.0
             bda4 = bev_transform_matrix(rot_deg, flip_dx, flip_dy, center)

@@ -121,6 +121,26 @@ def run_training(
     return state
 
 
+def pad_batch(batch: Dict, batch_size: int) -> Dict:
+    """Pad a short tail batch up to ``batch_size`` by repeating the last
+    sample, with padded ``gt_occ`` voxels set to the ignore label 255 so the
+    metric state is unaffected. Keeps the jitted eval step's input shapes
+    static — without this, ``drop_last=False`` loaders trigger a second full
+    compile on the final batch."""
+    n = next(iter(batch.values())).shape[0]
+    if n == batch_size:
+        return batch
+    pad = batch_size - n
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        filler = np.repeat(v[-1:], pad, axis=0)
+        if k == "gt_occ":
+            filler = np.full_like(filler, 255)
+        out[k] = np.concatenate([v, filler], axis=0)
+    return out
+
+
 def run_evaluation(
     model,
     variables,
@@ -129,16 +149,26 @@ def run_evaluation(
     *,
     class_names=KITTI_CLASS_NAMES,
     progress: bool = True,
+    reduce_processes: bool = True,
 ) -> Dict[str, float]:
     """Streaming evaluation over a loader; returns the reference-format
-    metric dict (semkitti_* keys + combined sort key)."""
+    metric dict (semkitti_* keys + combined sort key).
+
+    With multiple JAX processes (each evaluating its own index shard, see
+    ``SemanticKittiIndex.shard``), the per-process metric states are summed
+    across processes before scoring, so every host reports identical numbers
+    and makes the same best-checkpoint decision (the reference used a
+    pickle-to-tmpdir gather for this, ref occupancy/apis/test.py:226-273)."""
     jitted = jax.jit(eval_step)
     metric_state = ssc_metrics.empty_state()
     t0 = time.time()
     n = 0
+    batch_size = getattr(eval_loader, "batch_size", None)
     for i, batch in enumerate(eval_loader):
+        n += int(np.asarray(next(iter(batch.values()))).shape[0])
+        if batch_size is not None:
+            batch = pad_batch(batch, batch_size)
         _, metric_state = jitted(variables, batch, metric_state)
-        n += int(np.asarray(batch["gt_occ"]).shape[0])
         if progress and i % 20 == 0:
             scores = ssc_metrics.compute(jax.device_get(metric_state))
             print(
@@ -147,6 +177,10 @@ def run_evaluation(
                 f"{float(scores['iou_ssc_mean']):.4f}",
                 flush=True,
             )
+    if reduce_processes:
+        metric_state = ssc_metrics.all_processes_state(
+            jax.device_get(metric_state)
+        )
     out = ssc_metrics.evaluate_dict(metric_state, class_names)
     out["eval_time_s"] = time.time() - t0
     out["eval_frames"] = n

@@ -70,6 +70,41 @@ def step_lr_schedule(
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def efficientnet_frozen_predicate(
+    frozen_stages: int, backbone_name: str = "img_backbone"
+) -> Callable[[str], bool]:
+    """Path predicate matching the reference's backbone ``frozen_stages``
+    semantics (mmcls EfficientNet freezes ``layers[:frozen_stages]`` where
+    layer 0 is the stem and layer k is block stage k). Returns True for
+    parameter paths that must receive zero updates."""
+
+    def predicate(path: str) -> bool:
+        parts = path.split("/")
+        if backbone_name not in parts:
+            return False
+        for p in parts:
+            if p == "stem" and frozen_stages >= 1:
+                return True
+            if p.startswith("stage") and "_block" in p:
+                stage = int(p[len("stage"):p.index("_")])
+                return stage <= frozen_stages - 1
+        return False
+
+    return predicate
+
+
+def _freeze_labels(params, predicate: Callable[[str], bool]):
+    """'train'/'frozen' label tree for optax.multi_transform."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    labels = {
+        k: "frozen" if predicate("/".join(str(p) for p in k)) else "train"
+        for k in flat
+    }
+    return traverse_util.unflatten_dict(labels)
+
+
 def create_train_state(
     model,
     variables,
@@ -78,13 +113,25 @@ def create_train_state(
     grad_clip: float = 5.0,
     steps_per_epoch: int = 1,
     milestones=(20, 25),
+    frozen_predicate: Optional[Callable[[str], bool]] = None,
 ) -> TrainState:
+    """``frozen_predicate`` (path string -> bool) implements the reference's
+    ``frozen_stages`` backbone freezing (ref efficientnet.py frozen_stages /
+    mmcls _freeze_stages): matching parameters get zero updates via
+    optax.multi_transform. Note frozen-stage BatchNorm *statistics* still
+    update during training (the reference's norm_eval flag is a separate
+    concern, off in the active config)."""
     schedule = step_lr_schedule(lr, steps_per_epoch, milestones)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, weight_decay=weight_decay, b1=0.9, b2=0.999),
     )
     params = variables["params"]
+    if frozen_predicate is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            _freeze_labels(params, frozen_predicate),
+        )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

@@ -90,6 +90,31 @@ def reduce_state(state, axis_name: str):
     return jax.tree.map(lambda x: jax.lax.psum(x, axis_name), state)
 
 
+def reduce_state_host(states) -> Dict[str, jnp.ndarray]:
+    """Host-side sum of per-shard metric states (replaces the reference's
+    pickle-to-tmpdir rank gather, ref occupancy/apis/test.py:226-273).
+    ``states``: iterable of state pytrees from different data shards."""
+    states = list(states)
+    return jax.tree.map(lambda *xs: sum(xs[1:], start=xs[0]), *states)
+
+
+def all_processes_state(state) -> Dict[str, jnp.ndarray]:
+    """Sum the metric state across every JAX process so each host computes
+    identical final metrics (and identical best-checkpoint decisions).
+
+    The reference gathered per-rank result tuples through pickle files on a
+    shared filesystem (ref test.py:226-273) + ``dist.all_reduce`` for the
+    histogram (:221); here the state is a tiny fixed pytree, so one
+    ``process_allgather`` + host sum replaces both. No-op single-process.
+    """
+    if jax.process_count() == 1:
+        return state
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(state)
+    return jax.tree.map(lambda x: x.sum(axis=0), gathered)
+
+
 def compute(state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Final scores. ref: ssc_metric.py:87-102."""
     tp = state["completion_tp"]

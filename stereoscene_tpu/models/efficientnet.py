@@ -220,8 +220,11 @@ class CustomEfficientNet(nn.Module):
     """Multi-output EfficientNet.
 
     Attributes mirror the reference config keys (stereoscene.py:59-69):
-      arch, drop_path_rate, out_indices, with_cp, frozen_stages (freezing is
-      handled at the optimizer level in JAX — see engine/train.py).
+      arch, drop_path_rate, out_indices, with_cp, frozen_stages. Freezing is
+      implemented at the optimizer level: pass
+      ``engine.train.efficientnet_frozen_predicate(frozen_stages)`` to
+      ``create_train_state`` (optax.multi_transform zeroes those updates);
+      tools/train.py wires this from the config automatically.
     Stage indexing matches the reference: 0 = stem conv, 1..5 = block stages,
     6 = head conv.
     """

@@ -174,3 +174,37 @@ def test_create_voxel_labels_majority():
     assert out[0, 0, 0] == 4   # majority of (4, 4, 7)
     assert out[3, 3, 1] == 2
     assert out.sum() == 4 + 2  # everything else empty; OOB point dropped
+
+
+def test_loader_aug_deterministic_across_worker_counts(kitti_tree):
+    """Per-sample seeded augmentation draws are independent of worker-thread
+    scheduling (VERDICT weak #8): the same loader seed yields bit-identical
+    batches whether the pipeline runs on 1 thread or 4."""
+    root, out_root = kitti_tree
+    idx = SemanticKittiIndex(
+        data_root=str(root), ann_file=str(out_root / "labels"), split="train"
+    )
+    cfg = PipelineConfig(
+        input_size=(96, 320),
+        resize=(-0.06, 0.11),
+        rot=(-5.4, 5.4),
+        flip=True,
+        crop_h=(0.0, 0.0),
+        is_train=True,
+    )
+
+    def collect(num_workers):
+        loader = BatchLoader(
+            idx.frames, SemanticKittiPipeline(cfg, seed=7), batch_size=1,
+            shuffle=True, seed=7, num_workers=num_workers,
+        )
+        return [list(loader) for _ in range(2)]  # two epochs
+
+    a, b = collect(1), collect(4)
+    for ep_a, ep_b in zip(a, b):
+        for batch_a, batch_b in zip(ep_a, ep_b):
+            for k in batch_a:
+                np.testing.assert_array_equal(batch_a[k], batch_b[k])
+    # different epochs draw different augmentations
+    assert not np.array_equal(a[0][0]["post_rots"], a[1][0]["post_rots"]) or \
+        not np.array_equal(a[0][0]["imgs"], a[1][0]["imgs"])

@@ -28,6 +28,15 @@ def parse_args():
                    help="write benchmark .label files here")
     p.add_argument("--save-pred-dir", default=None,
                    help="dump per-frame predicted voxel grids as .npy")
+    p.add_argument("--flops", action="store_true",
+                   help="print an XLA cost-analysis FLOPs/params table "
+                        "(the reference's fvcore table, ref test.py:84)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for jax.distributed.initialize "
+                        "(multi-host eval; each process evaluates its index "
+                        "shard, metric states are summed across processes)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
@@ -35,6 +44,13 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     import jax.numpy as jnp
     import numpy as np
 
@@ -67,8 +83,9 @@ def main():
     )
     if len(index) == 0:
         raise SystemExit(f"no frames for split {args.split}")
+    proc_frames = index.shard(jax.process_index(), jax.process_count())
     loader = BatchLoader(
-        index.frames, SemanticKittiPipeline(pipe_cfg),
+        proc_frames, SemanticKittiPipeline(pipe_cfg),
         batch_size=args.batch_size, shuffle=False, drop_last=False,
         num_workers=4,
     )
@@ -93,17 +110,28 @@ def main():
 
     eval_step = make_eval_step(model, tuple(cfg["occ_size"]))
 
-    if args.submission_dir or args.save_pred_dir:
-        lut = inv_map()
-        jitted = jax.jit(
-            lambda v, b: eval_step(v, b, __import__(
-                "stereoscene_tpu.metrics", fromlist=["empty_state"]
-            ).empty_state())[0]
+    if args.flops:
+        from stereoscene_tpu.engine import flops as flops_report
+        from stereoscene_tpu.metrics import empty_state
+
+        flops_report.report(
+            lambda v, b: eval_step(v, b, empty_state())[0],
+            variables["params"], variables, example,
+            name="eval forward (incl. upsample+argmax)",
         )
+
+    if args.submission_dir or args.save_pred_dir:
+        from stereoscene_tpu.engine.loop import pad_batch
+        from stereoscene_tpu.metrics import empty_state
+
+        lut = inv_map()
+        jitted = jax.jit(lambda v, b: eval_step(v, b, empty_state())[0])
         for i, batch in enumerate(loader):
-            preds = np.asarray(jitted(variables, batch))
+            n_real = next(iter(batch.values())).shape[0]
+            batch = pad_batch(batch, args.batch_size)
+            preds = np.asarray(jitted(variables, batch))[:n_real]
             for j in range(preds.shape[0]):
-                frame = index.frames[i * args.batch_size + j]
+                frame = proc_frames[i * args.batch_size + j]
                 if args.save_pred_dir:
                     os.makedirs(args.save_pred_dir, exist_ok=True)
                     np.save(

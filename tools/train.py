@@ -69,6 +69,7 @@ def main():
     from stereoscene_tpu.engine.train import (
         LossConfig,
         create_train_state,
+        efficientnet_frozen_predicate,
         make_train_step,
     )
     from stereoscene_tpu.models.detector import BEVDepthOccupancy, DetectorConfig
@@ -131,6 +132,7 @@ def main():
     )(jax.random.PRNGKey(args.seed))
     opt_cfg = cfg["optimizer"]
     lr_steps = cfg["lr_config"]["step"]
+    frozen_stages = cfg["model"]["img_backbone"].get("frozen_stages", 0)
     state = create_train_state(
         model,
         variables,
@@ -139,6 +141,10 @@ def main():
         grad_clip=cfg["optimizer_config"]["grad_clip"]["max_norm"],
         steps_per_epoch=len(train_loader),
         milestones=tuple(lr_steps),
+        frozen_predicate=(
+            efficientnet_frozen_predicate(frozen_stages)
+            if frozen_stages and frozen_stages > 0 else None
+        ),
     )
 
     loss_w = cfg["model"]["pts_bbox_head"]["semkitti_loss_weight_cfg"]
