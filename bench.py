@@ -99,6 +99,17 @@ def main():
     b = 1
     batch = make_flagship_batch(cfg, b)
 
+    # static splat plan (host-side, once per calibration — exactly how the
+    # eval CLI runs; see ops/splat_plan.py)
+    from stereoscene_tpu.ops.splat_plan import SplatPlanCache
+
+    geo_keys = ("rots", "trans", "intrins", "post_rots", "post_trans", "bda")
+    planned = SplatPlanCache(model, int(np.prod(cfg.grid_shape))).attach(
+        {k: np.asarray(batch[k]) for k in geo_keys}
+    )
+    batch["splat_order"] = jnp.asarray(planned["splat_order"])
+    batch["splat_ranks"] = jnp.asarray(planned["splat_ranks"])
+
     # Throughput benchmark: parameter *values* are irrelevant, so build the
     # variables tree from eval_shape with cheap host randomness instead of
     # running the real init graph (which costs minutes of XLA compile).

@@ -228,7 +228,12 @@ class BEVDepthOccupancy(nn.Module):
             batch["rots"], batch["trans"], batch["intrins"],
             batch["post_rots"], batch["post_trans"], batch["bda"],
         )
-        ranks = self.compute_ranks(batch)
+        if "splat_order" in batch:
+            # host-precomputed static splat plan (ops/splat_plan.py): the
+            # argsort + OOB compaction are hoisted out of the compiled step
+            ranks = (batch["splat_order"], batch["splat_ranks"])
+        else:
+            ranks = self.compute_ranks(batch)
         return self.img_view_transformer(
             feat_left, feat_right, mlp[:, 0], mlp[:, 1], batch["calib"],
             ranks, train=train,

@@ -119,27 +119,109 @@ class ConvTransposeTorch(nn.Module):
             (*k, in_features, self.features),
             jnp.float32,
         )
-        spatial_axes = tuple(range(self.ndim))
-        flipped = jnp.flip(kernel, axis=spatial_axes)
-
-        pad = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(self.ndim)]
         dim_chars = "DHW"[-self.ndim:]
         spec = (f"N{dim_chars}C", f"{dim_chars}IO", f"N{dim_chars}C")
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            flipped.astype(dtype),
-            window_strides=(1,) * self.ndim,
-            padding=pad,
-            lhs_dilation=s,
-            dimension_numbers=spec,
-        )
+
+        import os
+
+        # Subpixel phase-decomposition is exact and wins per-op in isolation
+        # (probe_deconv.py), but in the full graph the depth-to-space
+        # relayouts break XLA fusion and cost more than the dilated conv's
+        # wasted MACs (stage_view 89 ms -> 110 ms measured). Default off;
+        # kept behind the flag for future libtpu/Mosaic revisits.
+        use_subpixel = os.environ.get(
+            "STEREOSCENE_SUBPIXEL_DECONV", "0"
+        ) == "1"
+        if use_subpixel and all(ki == 3 for ki in k) \
+                and all(si == 2 for si in s) \
+                and all(pi == 1 for pi in p) and all(oi == 1 for oi in op):
+            y = _subpixel_deconv_k3s2(x, kernel, self.ndim, spec, dtype)
+        else:
+            spatial_axes = tuple(range(self.ndim))
+            flipped = jnp.flip(kernel, axis=spatial_axes)
+            pad = [
+                (k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i])
+                for i in range(self.ndim)
+            ]
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                flipped.astype(dtype),
+                window_strides=(1,) * self.ndim,
+                padding=pad,
+                lhs_dilation=s,
+                dimension_numbers=spec,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32
             )
             y = y + bias.astype(y.dtype)
         return y
+
+
+def _subpixel_deconv_k3s2(x, kernel, ndim, spec, dtype):
+    """Exact subpixel lowering of ConvTranspose(kernel 3, stride 2, padding 1,
+    output_padding 1) — the hourglass decoder shape (ref
+    ViewTransformerLSSVoxel.py:81-86).
+
+    XLA lowers a transposed conv as an lhs-dilated conv: a 3^n-tap stencil
+    over an input that is 1/2^n zeros, wasting ~2^n of the MACs and leaving
+    the MXU's 128 output lanes 4x under-filled at the hourglass's 32-64
+    channels. The same linear map, decomposed by output phase r (o = 2q + r):
+
+        y[2q + r] = sum_m x[q + delta_r - m] * W[2m + c_r]
+
+    is one dense 2^n-window convolution producing all 2^n phases as extra
+    output channels, interleaved back with a depth-to-space reshape. Per-dim
+    tap table (k=3, s=2, p=1): phase 0 reads x[q]*W[1]; phase 1 reads
+    x[q+1]*W[0] + x[q]*W[2]. FLOPs drop ~3.4x and output channels fill the
+    MXU. Bit-identical to the dilated-conv lowering (same params, same math;
+    guarded by the torch-parity tests in tests/test_models.py and
+    tests/test_hourglass_parity.py).
+    """
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    # per-dim: taps[r][w] = kernel index used by phase r at window offset w
+    # (w indexes x[q + w]); None = structural zero.
+    taps = {0: {0: 1, 1: None}, 1: {0: 2, 1: 0}}
+
+    import itertools
+
+    phases = list(itertools.product((0, 1), repeat=ndim))
+    blocks = []
+    zero = jnp.zeros((cin, cout), kernel.dtype)
+    for r in phases:
+        w_kernel = []
+        for w in itertools.product((0, 1), repeat=ndim):
+            kk = tuple(taps[r[d]][w[d]] for d in range(ndim))
+            w_kernel.append(zero if None in kk else kernel[kk])
+        # [2]*ndim window, [cin, cout]
+        blocks.append(
+            jnp.stack(w_kernel, axis=0).reshape((2,) * ndim + (cin, cout))
+        )
+    # [2..., cin, 2^ndim * cout], phase-major output blocks
+    w_aug = jnp.concatenate(blocks, axis=-1)
+
+    pad = [(0, 1)] * ndim  # window w=1 reads x[q+1]; zero past the edge
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        w_aug.astype(dtype),
+        window_strides=(1,) * ndim,
+        padding=pad,
+        dimension_numbers=spec,
+    )
+    # depth-to-space: [B, *in, 2^ndim * cout] -> [B, *(2*in), cout]
+    b = y.shape[0]
+    in_sp = y.shape[1:-1]
+    y = y.reshape((b,) + in_sp + (2,) * ndim + (cout,))
+    # interleave: [b, q_0, .., q_{n-1}, r_0, .., r_{n-1}, c]
+    #          -> [b, q_0, r_0, .., q_{n-1}, r_{n-1}, c]
+    perm = [0]
+    for d in range(ndim):
+        perm += [1 + d, 1 + ndim + d]
+    perm += [1 + 2 * ndim]
+    y = y.transpose(perm)
+    return y.reshape((b,) + tuple(2 * sdim for sdim in in_sp) + (cout,))
 
 
 class GroupNorm(nn.Module):

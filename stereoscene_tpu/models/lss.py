@@ -19,7 +19,7 @@ from typing import Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.voxel_pool import lift_splat
+from ..ops.voxel_pool import lift_splat, lift_splat_static
 from .depth_net import DepthNet
 from .mie import VolumeInteraction
 from .stereo_volume import GwcVolumeEncoder
@@ -41,7 +41,9 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
         mlp_left,       # [B, cam_channels]
         mlp_right,      # [B, cam_channels]
         calib,          # [B]
-        ranks,          # [B, D * fH * fW] precomputed voxel ranks
+        ranks,          # [B, D * fH * fW] voxel ranks (dynamic path), or a
+                        # (order, ranks_sorted) tuple from a host-side static
+                        # splat plan (ops/splat_plan.py)
         train: bool = False,
     ):
         # stereo branch -> depth probability (ref :489-490)
@@ -72,12 +74,20 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
             attention_chunk=self.attention_chunk, name="volume_interaction"
         )(stereo_prob, lss_prob, train=train)
 
-        # fused lift + splat (ref :517-523); fp32 accumulate in the scatter
-        bev_feat = lift_splat(
-            fused_prob.astype(jnp.float32),
-            img_feat.astype(jnp.float32),
-            ranks,
-            self.grid_shape,
-        ).astype(feat_left.dtype)
+        # fused lift + splat (ref :517-523); fp32 accumulate in the reduction
+        if isinstance(ranks, tuple):
+            order, ranks_sorted = ranks
+            bev_feat = lift_splat_static(
+                fused_prob.astype(jnp.float32),
+                img_feat.astype(jnp.float32),
+                order, ranks_sorted, self.grid_shape,
+            ).astype(feat_left.dtype)
+        else:
+            bev_feat = lift_splat(
+                fused_prob.astype(jnp.float32),
+                img_feat.astype(jnp.float32),
+                ranks,
+                self.grid_shape,
+            ).astype(feat_left.dtype)
 
         return bev_feat, fused_prob

@@ -1,0 +1,150 @@
+"""Host-side static splat plans: the SURVEY §7 'static-rank insight'.
+
+With image augmentation off and BDA identity (the scored inference
+configuration), the frustum->voxel index map depends only on the calibration
+matrices — constant per KITTI sequence. The argsort and the
+out-of-bounds compaction can therefore be hoisted out of the compiled step
+entirely (ref CUDA bev_pool re-sorts every call,
+ViewTransformerLSSVoxel.py:432-476): the plan below is built once per
+calibration on the host CPU and shipped with the batch as two int32 arrays.
+
+Measured on the v5e (tools/probe_splat.py, real bench-calib ranks,
+43.8% of frustum points in-bounds):
+
+    scatter (in-graph ranks, production default)  11.6 ms
+    static plan + gather + pallas one-hot kernel   2.8 ms
+
+Plan layout (per sample):
+  order:        [P_pad] int32 — in-bounds points, sorted by voxel rank,
+                padded with 0 (any valid index; pad rows are masked by rank).
+  ranks_sorted: [P_pad] int32 — ranks in sorted order; padding carries the
+                sentinel num_voxels + TILE so the one-hot kernel and the
+                segment-sum fallback both drop those rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .pallas_splat import CHUNK, TILE
+
+
+def compute_ranks_host(model, sample: Dict[str, np.ndarray]) -> np.ndarray:
+    """Frustum voxel ranks for one sample, computed on the host CPU backend
+    (never dispatches to the TPU; safe inside data-loading threads).
+
+    ``sample`` needs rots/trans/intrins/post_rots/post_trans/bda with a
+    leading batch dim of 1."""
+    import jax
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    fn = jax.jit(lambda b: model.apply({}, b, method="compute_ranks"))
+    batch = {
+        k: jax.device_put(np.asarray(sample[k]), cpu)
+        for k in ("rots", "trans", "intrins", "post_rots", "post_trans", "bda")
+    }
+    return np.asarray(fn(batch))[0]
+
+
+def build_plan(
+    ranks: np.ndarray,
+    num_voxels: int,
+    p_pad: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ranks [P] -> (order [P_pad], ranks_sorted [P_pad]).
+
+    When ``p_pad`` is None the plan is sized to this frame's in-bounds count
+    rounded up to a CHUNK multiple (+1 CHUNK of DMA headroom). Pass a fixed
+    ``p_pad`` to share one compiled graph across calibrations."""
+    order = np.argsort(ranks, kind="stable").astype(np.int32)
+    rs = ranks[order]
+    keep = rs < num_voxels
+    order, rs = order[keep], rs[keep]
+    n = len(order)
+    if p_pad is None:
+        p_pad = plan_budget(n)
+    if n > p_pad:
+        raise ValueError(
+            f"splat plan budget too small: {n} in-bounds points > p_pad="
+            f"{p_pad}; rebuild loaders with a larger budget"
+        )
+    pad = p_pad - n
+    order = np.concatenate([order, np.zeros(pad, np.int32)])
+    rs = np.concatenate([rs, np.full(pad, num_voxels + TILE, np.int32)])
+    return order, rs
+
+
+def plan_budget(n_valid: int, margin: float = 1.1) -> int:
+    """Fixed plan size for a dataset: measured in-bounds count x margin,
+    rounded up to a CHUNK multiple, +1 CHUNK of DMA headroom (KITTI calibs
+    differ by <1% across sequences, so 10% margin is generous)."""
+    n = int(n_valid * margin)
+    return (n + CHUNK - 1) // CHUNK * CHUNK + CHUNK
+
+
+class SplatPlanCache:
+    """Per-calibration plan cache for eval/inference loaders.
+
+    ``attach(batch)`` computes (or reuses) the plan of every sample in a
+    numpy batch and adds 'splat_order'/'splat_ranks' arrays. The first plan
+    fixes the shared p_pad budget."""
+
+    def __init__(self, model, num_voxels: int):
+        self.model = model
+        self.num_voxels = num_voxels
+        self.p_pad: Optional[int] = None
+        self._cache: Dict[bytes, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _key(self, sample_i: Dict[str, np.ndarray]) -> bytes:
+        return b"".join(
+            np.ascontiguousarray(sample_i[k]).tobytes()
+            for k in ("rots", "trans", "intrins", "post_rots", "post_trans",
+                      "bda")
+        )
+
+    def attach(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        b = np.asarray(batch["rots"]).shape[0]
+        orders, rankss = [], []
+        for i in range(b):
+            sample = {
+                k: np.asarray(batch[k])[i : i + 1]
+                for k in ("rots", "trans", "intrins", "post_rots",
+                          "post_trans", "bda")
+            }
+            key = self._key({k: v[0] for k, v in sample.items()})
+            hit = self._cache.get(key)
+            if hit is None:
+                ranks = compute_ranks_host(self.model, sample)
+                if self.p_pad is None:
+                    self.p_pad = plan_budget(
+                        int((ranks < self.num_voxels).sum())
+                    )
+                hit = build_plan(ranks, self.num_voxels, self.p_pad)
+                self._cache[key] = hit
+            orders.append(hit[0])
+            rankss.append(hit[1])
+        out = dict(batch)
+        out["splat_order"] = np.stack(orders)
+        out["splat_ranks"] = np.stack(rankss)
+        return out
+
+    def wrap(self, loader):
+        """Wrap a loader so every batch carries its splat plan. Preserves
+        len()/batch_size for the eval harness."""
+        return _PlannedLoader(self, loader)
+
+
+class _PlannedLoader:
+    def __init__(self, cache: "SplatPlanCache", loader):
+        self._cache = cache
+        self._loader = loader
+        self.batch_size = getattr(loader, "batch_size", None)
+
+    def __len__(self):
+        return len(self._loader)
+
+    def __iter__(self):
+        for batch in self._loader:
+            yield self._cache.attach(batch)

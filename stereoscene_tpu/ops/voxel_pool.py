@@ -59,6 +59,73 @@ def voxel_pool_sorted(
     return out[:num_voxels]
 
 
+def lift_splat_static(
+    depth_prob: jnp.ndarray,
+    img_feat: jnp.ndarray,
+    order: jnp.ndarray,
+    ranks_sorted: jnp.ndarray,
+    grid_shape: tuple[int, int, int],
+) -> jnp.ndarray:
+    """Fused lift + splat over a host-precomputed static plan
+    (ops/splat_plan.py): points arrive pre-sorted by voxel rank and compacted
+    to the in-bounds set, so the argsort and ~56% of the gather/reduce work
+    never enter the compiled step (SURVEY §7 static-rank insight; 2.8 ms vs
+    the 11.6 ms in-graph scatter on the v5e, tools/probe_splat.py).
+
+    On TPU the reduction is the Pallas sorted one-hot-matmul kernel
+    (ops/pallas_splat.py); elsewhere a sorted segment-sum computes the
+    identical result (used by the CPU test suite).
+
+    Args:
+      depth_prob: [B, D, fH, fW].
+      img_feat: [B, fH, fW, C].
+      order: [B, P_pad] int32 sorted in-bounds point indices (pad = 0).
+      ranks_sorted: [B, P_pad] int32 sorted ranks (pad sentinel >= num_voxels).
+    Returns:
+      [B, X, Y, Z, C] pooled voxel features (float32).
+    """
+    num_x, num_y, num_z = grid_shape
+    num_voxels = num_x * num_y * num_z
+    b, d, fh, fw = depth_prob.shape
+    c = img_feat.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+
+    # Reduction backend: the sorted segment-sum wins INSIDE the full graph
+    # (stage_view 80.6 ms vs 89 dynamic-scatter vs 110 pallas — the pallas
+    # custom-call forces operand materialization/scheduling barriers that
+    # cost more in-graph than its standalone 2.8 ms win; tools/probe_splat.py
+    # + PERF.md). Pallas kept behind the env knob for standalone use and
+    # future XLA revisits.
+    import os
+
+    use_pallas = on_tpu and os.environ.get(
+        "STEREOSCENE_STATIC_SPLAT", "seg"
+    ) == "pallas"
+
+    def one(dp, feat, od, rk):
+        vals = dp.reshape(-1)[od, None].astype(jnp.float32) * (
+            feat.reshape(-1, c)[od % (fh * fw)].astype(jnp.float32)
+        )
+        if use_pallas:
+            from .pallas_splat import _splat_sorted
+
+            out = _splat_sorted(vals, rk, num_voxels, False)
+        else:
+            out = jax.ops.segment_sum(
+                vals, jnp.minimum(rk, num_voxels),
+                num_segments=num_voxels + 1, indices_are_sorted=True,
+            )[:num_voxels]
+        return out.reshape(num_x, num_y, num_z, c)
+
+    # static python loop over the (small) batch: vmap of a pallas_call
+    # lowers poorly on this backend (serializing wrapper), and the per-sample
+    # kernels pipeline fine as independent calls
+    return jnp.stack(
+        [one(depth_prob[i], img_feat[i], order[i], ranks_sorted[i])
+         for i in range(b)]
+    )
+
+
 def lift_splat(
     depth_prob: jnp.ndarray,
     img_feat: jnp.ndarray,

@@ -1,0 +1,113 @@
+"""Static splat plans (ops/splat_plan.py) must reproduce the dynamic
+scatter path exactly, including out-of-bounds dropping and batch plumbing
+through the detector."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as graft
+from stereoscene_tpu.ops.splat_plan import (
+    SplatPlanCache,
+    build_plan,
+    plan_budget,
+)
+from stereoscene_tpu.ops.voxel_pool import (
+    lift_splat,
+    lift_splat_static,
+    voxel_pool_scatter,
+)
+
+
+def test_static_plan_matches_scatter():
+    rng = np.random.RandomState(0)
+    d, fh, fw, c = 6, 4, 5, 8
+    grid = (8, 8, 4)
+    nvox = int(np.prod(grid))
+    p = d * fh * fw
+    # ~40% in-bounds, like the real frustum
+    ranks = np.where(
+        rng.rand(p) < 0.4, rng.randint(0, nvox, p), nvox
+    ).astype(np.int32)
+    dp = rng.rand(1, d, fh, fw).astype(np.float32)
+    feat = rng.randn(1, fh, fw, c).astype(np.float32)
+
+    ref = lift_splat(jnp.asarray(dp), jnp.asarray(feat),
+                     jnp.asarray(ranks[None]), grid)
+
+    order, rs = build_plan(ranks, nvox)
+    assert order.shape[0] % 1024 == 0
+    out = lift_splat_static(
+        jnp.asarray(dp), jnp.asarray(feat),
+        jnp.asarray(order[None]), jnp.asarray(rs[None]), grid,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_plan_budget_and_overflow():
+    assert plan_budget(1000) % 1024 == 0
+    assert plan_budget(1000) >= 1100
+    ranks = np.zeros(5000, np.int32)  # all valid, rank 0
+    try:
+        build_plan(ranks, 64, p_pad=1024)
+    except ValueError as e:
+        assert "budget" in str(e)
+    else:
+        raise AssertionError("expected overflow error")
+
+
+def test_detector_static_plan_end_to_end():
+    """Full tiny-model forward: batch with plan == batch without."""
+    cfg = graft._tiny_cfg()
+    from stereoscene_tpu.models.detector import BEVDepthOccupancy
+
+    model = BEVDepthOccupancy(cfg=cfg)
+    batch = graft._make_batch(cfg, b=2)
+    variables = jax.jit(lambda k: model.init(k, batch, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    cache = SplatPlanCache(model, int(np.prod(cfg.grid_shape)))
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    planned = cache.attach(np_batch)
+    assert planned["splat_order"].shape[0] == 2
+    # second attach hits the per-calib cache (same calib both samples)
+    assert len(cache._cache) == 1
+
+    out_dyn = model.apply(variables, batch, train=False)
+    planned_j = {k: jnp.asarray(v) for k, v in planned.items()}
+    out_sta = model.apply(variables, planned_j, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_sta["output_voxels"][0]),
+        np.asarray(out_dyn["output_voxels"][0]),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_grad_through_static_plan():
+    rng = np.random.RandomState(1)
+    d, fh, fw, c = 4, 4, 4, 4
+    grid = (4, 4, 4)
+    nvox = 64
+    p = d * fh * fw
+    ranks = np.where(rng.rand(p) < 0.5, rng.randint(0, nvox, p), nvox
+                     ).astype(np.int32)
+    order, rs = build_plan(ranks, nvox)
+    dp = jnp.asarray(rng.rand(1, d, fh, fw), jnp.float32)
+    feat = jnp.asarray(rng.randn(1, fh, fw, c), jnp.float32)
+
+    def loss_sta(dp, feat):
+        out = lift_splat_static(dp, feat, jnp.asarray(order[None]),
+                                jnp.asarray(rs[None]), grid)
+        return jnp.sum(out ** 2)
+
+    def loss_dyn(dp, feat):
+        out = lift_splat(dp, feat, jnp.asarray(ranks[None]), grid)
+        return jnp.sum(out ** 2)
+
+    g_sta = jax.grad(loss_sta, argnums=(0, 1))(dp, feat)
+    g_dyn = jax.grad(loss_dyn, argnums=(0, 1))(dp, feat)
+    for a, b in zip(g_sta, g_dyn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -110,6 +110,15 @@ def main():
 
     eval_step = make_eval_step(model, tuple(cfg["occ_size"]))
 
+    # static splat plans: eval runs aug-free with identity BDA, so the
+    # frustum->voxel sort is constant per calibration and computed once on
+    # the host (ops/splat_plan.py)
+    from stereoscene_tpu.ops.splat_plan import SplatPlanCache
+
+    loader = SplatPlanCache(model, int(np.prod(det_cfg.grid_shape))).wrap(
+        loader
+    )
+
     if args.flops:
         from stereoscene_tpu.engine import flops as flops_report
         from stereoscene_tpu.metrics import empty_state

@@ -182,6 +182,12 @@ def main():
             drop_last=False,
         )
         eval_step = make_eval_step(model, tuple(cfg["occ_size"]))
+        # eval is aug-free with identity BDA -> static splat plans apply
+        from stereoscene_tpu.ops.splat_plan import SplatPlanCache
+
+        eval_loader = SplatPlanCache(
+            model, int(np.prod(det_cfg.grid_shape))
+        ).wrap(eval_loader)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
