@@ -38,6 +38,57 @@ def _tuple(v, n):
     return (v,) * n
 
 
+class _ZPackConv3d(nn.Module):
+    """Exact 3x3x3 stride-1 conv3d lowered as conv2d with the depth taps
+    folded into output channels, plus a shift-add over depth.
+
+    Motivation (measured on v5e, tools/probe_conv3d.py): XLA's conv3d with
+    C_out<=32 runs at ~1-14 TF/s because the output channels occupy only a
+    fraction of the 128 MXU lanes. Computing z[e, kd] = W2d[kd] *2d x[e]
+    (one conv2d C_in -> 3*C_out over each depth slice) then
+    y[d] = sum_kd z[d + kd - 1, kd] is mathematically identical
+    (cross-correlation tap algebra) and triples lane occupancy at zero extra
+    FLOPs: 2.7x for 32->32, 3.4x for 2->32, 6x for 32->1.
+
+    Parameter names/shapes match nn.Conv ('kernel' [3,3,3,Ci,Co], 'bias')
+    so checkpoint converters are unaffected.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, ci, co),
+        )
+        dtype = self.dtype or x.dtype
+        w = kernel.astype(dtype)
+        x = x.astype(dtype)
+        b, d, h, wd = x.shape[:4]
+        # [kd,kh,kw,ci,co] -> [kh,kw,ci, kd*co] (out-channel block g = kd)
+        w2 = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(3, 3, ci, 3 * co)
+        z = jax.lax.conv_general_dilated(
+            x.reshape(b * d, h, wd, ci), w2,
+            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dtype,
+        ).reshape(b, d, h, wd, 3, co)
+        zp = jnp.pad(z, ((0, 0), (1, 1)) + ((0, 0),) * 4)
+        # cross-correlation: y[d] = sum_kd z[d + kd - 1, g=kd]
+        y = (zp[:, 0:d, ..., 0, :] + zp[:, 1:d + 1, ..., 1, :]
+             + zp[:, 2:d + 2, ..., 2, :])
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (co,))
+            y = y + bias.astype(dtype)
+        return y
+
+
 class ConvNd(nn.Module):
     """Torch-style convolution: integer padding means symmetric zero pad.
 
@@ -56,6 +107,21 @@ class ConvNd(nn.Module):
     def __call__(self, x):
         k = _tuple(self.kernel_size, self.ndim)
         s = _tuple(self.stride, self.ndim)
+        if (
+            self.ndim == 3
+            and k == (3, 3, 3)
+            and s == (1, 1, 1)
+            and self.groups == 1
+            and not isinstance(self.padding, str)
+            and _tuple(self.padding, 3) == (1, 1, 1)
+            and 3 * self.features <= 128  # keeps the folded conv2d <=1 lane tile
+        ):
+            # MXU-lane-packing lowering for small-channel 3x3x3 convs;
+            # exact math, identical param tree (see _ZPackConv3d).
+            return _ZPackConv3d(
+                features=self.features, use_bias=self.use_bias,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
         if isinstance(self.padding, str):
             pad = self.padding
         else:
