@@ -152,6 +152,30 @@ def Conv3d(features, kernel_size, stride=1, padding=0, groups=1, use_bias=True,
                   use_bias=use_bias, dtype=dtype, name=name)
 
 
+def _dphase_deconv_k3s2(x, kernel, dtype):
+    """torch ConvTranspose3d(k=3, s=2, p=1, op=1) via depth-phase
+    decomposition; see ConvTransposeTorch for the derivation. kernel is
+    torch-layout [3, 3, 3, Ci, Co] (unflipped)."""
+    b, d, h, wd, ci = x.shape
+    co = kernel.shape[-1]
+    w = kernel.astype(dtype)
+    x = x.astype(dtype)
+    # [kd,kh,kw,ci,co] -> one 2D kernel [kh,kw,ci, kd*co]
+    w2 = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(3, 3, ci, 3 * co)
+    w2f = w2[::-1, ::-1]
+    z = jax.lax.conv_general_dilated(
+        x.reshape(b * d, h, wd, ci), w2f,
+        window_strides=(1, 1), padding=[(1, 2), (1, 2)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(b, d, 2 * h, 2 * wd, 3, co)
+    even = z[:, :, :, :, 1, :]
+    zp = jnp.pad(z, ((0, 0), (0, 1)) + ((0, 0),) * 4)
+    odd = zp[:, 0:d, :, :, 2, :] + zp[:, 1:d + 1, :, :, 0, :]
+    out = jnp.stack([even, odd], axis=2)
+    return out.reshape(b, 2 * d, 2 * h, 2 * wd, co)
+
+
 class ConvTransposeTorch(nn.Module):
     """Transposed convolution with exact torch output semantics.
 
@@ -203,6 +227,18 @@ class ConvTransposeTorch(nn.Module):
                 and all(si == 2 for si in s) \
                 and all(pi == 1 for pi in p) and all(oi == 1 for oi in op):
             y = _subpixel_deconv_k3s2(x, kernel, self.ndim, spec, dtype)
+        elif self.ndim == 3 and k == (3, 3, 3) and s == (2, 2, 2) \
+                and p == (1, 1, 1) and op == (1, 1, 1) \
+                and os.environ.get("STEREOSCENE_DPHASE_DECONV", "0") == "1":
+            # Depth-phase decomposition with the 3 depth taps folded into
+            # output channels of ONE 2D transposed conv (3x MXU lane
+            # occupancy). Exact: out[2m] = w[1]*T2d x[m];
+            #        out[2m+1] = w[2]*T2d x[m] + w[0]*T2d x[m+1].
+            # Measured (tools/probe_deconv3d.py, v5e): wins standalone
+            # (64->32 1.13 -> 0.46 ms) but LOSES in the full graph
+            # (view stage 69.7 -> 74.7 ms; same relayout story as the
+            # subpixel path) — default off, kept for future libtpu revisits.
+            y = _dphase_deconv_k3s2(x, kernel, dtype)
         else:
             spatial_axes = tuple(range(self.ndim))
             flipped = jnp.flip(kernel, axis=spatial_axes)

@@ -37,26 +37,41 @@ def groupwise_correlation_volume(
       max_disp: number of disparity planes D.
       num_groups: correlation groups G (C % G == 0).
     Returns:
-      [B, D, H, W, G] correlation volume (float32).
+      [B, D, H, W, G] correlation volume (input dtype).
     """
     b, h, w, c = left.shape
     assert c % num_groups == 0
     cpg = c // num_groups
+    dt = left.dtype
 
     disp = jnp.arange(max_disp)[:, None]  # [D, 1]
     cols = jnp.arange(w)[None, :]  # [1, W]
     src = cols - disp  # [D, W]
-    valid = (src >= 0).astype(jnp.float32)  # [D, W]
+    valid = (src >= 0).astype(dt)  # [D, W]
     src = jnp.clip(src, 0, w - 1)
 
-    # right gathered per disparity: [B, D, H, W, C]
-    right_shift = jnp.take(right, src.reshape(-1), axis=2)
-    right_shift = right_shift.reshape(b, h, max_disp, w, c).transpose(0, 2, 1, 3, 4)
+    # Gather/multiply/mean in the [B, H, D, W, C] layout so the big
+    # (D-major) relayout happens on the group-reduced volume (C/cpg times
+    # smaller) and in the input dtype, not f32 — the HBM traffic of this op
+    # dominates its cost on TPU (PERF.md).
+    import os
 
-    prod = left[:, None].astype(jnp.float32) * right_shift.astype(jnp.float32)
-    prod = prod.reshape(b, max_disp, h, w, num_groups, cpg)
-    vol = jnp.mean(prod, axis=-1)
-    return vol * valid[None, :, None, :, None]
+    if os.environ.get("STEREOSCENE_GWC_HMAJOR", "1") != "1":
+        right_shift = jnp.take(right, src.reshape(-1), axis=2)
+        right_shift = right_shift.reshape(
+            b, h, max_disp, w, c).transpose(0, 2, 1, 3, 4)
+        prod = left[:, None].astype(jnp.float32) * right_shift.astype(
+            jnp.float32)
+        prod = prod.reshape(b, max_disp, h, w, num_groups, cpg)
+        vol = jnp.mean(prod, axis=-1)
+        return (vol * valid[None, :, None, :, None]).astype(dt)
+
+    right_shift = jnp.take(right, src.reshape(-1), axis=2)
+    right_shift = right_shift.reshape(b, h, max_disp, w, c)
+    prod = left[:, :, None].astype(dt) * right_shift.astype(dt)
+    prod = prod.reshape(b, h, max_disp, w, num_groups, cpg)
+    vol = jnp.mean(prod, axis=-1) * valid[None, None, :, :, None]
+    return vol.transpose(0, 2, 1, 3, 4)
 
 
 def warp_disparity_to_depth(
