@@ -1,122 +1,413 @@
 """Mask2Former-style occupancy head (query-based mask classification).
 
-Capability rebuild of the reference's Mask2Former-for-occupancy stack
-(ref: occupancy/maskformer/ ~3013 LoC: Mask2FormerOccHead, pixel decoders,
-Hungarian mask assigner): learnable object queries attend to voxel features
-through masked cross-attention decoder layers; each query predicts a class
-distribution and a 3D mask embedding whose dot product with per-voxel mask
-features yields soft masks. Training uses Hungarian matching (host callback
-to scipy's linear_sum_assignment — the reference's CUDA-accelerated assigner
-is pure bookkeeping) over class + mask costs; inference composes semantics
-as sum_q P(class|q) * mask_q.
+Rebuild of the reference's Mask2Former-for-occupancy stack
+(ref: occupancy/maskformer/mask2former_occ.py:22-449,
+pixel_decoders/occupancy_pixel_decoder.py:16-290, ~3013 LoC total):
 
-TPU notes: masked attention uses an additive -inf bias from the previous
-layer's mask prediction (threshold 0.5), all shapes static; the matcher runs
-on host once per step via pure_callback (tiny: Q x Q cost matrices).
+- ``OccPixelDecoder3D``: multi-scale 3D pixel decoder — the lowest-res
+  levels are projected, given 3D sine + level positional encodings, and
+  refined by a stack of 3D multi-scale deformable self-attention encoder
+  layers (ops.msdeform_attn_3d replaces the CUDA
+  MultiScaleDeformableAttention); the remaining high-res levels are fused
+  FPN-style (lateral 1x1x1 + trilinear upsample + 3x3x3 output conv).
+  Returns per-voxel mask features plus the multi-scale memories.
+- ``Mask2FormerOccHead``: learnable query features + query positional
+  embeddings; decoder layers round-robin over the multi-scale memories
+  (ref mask2former_occ.py:422-447) with REAL masked cross-attention — a
+  per-(query, voxel) additive -inf bias inside the softmax computed from the
+  previous layer's mask prediction resampled to the level's resolution
+  (sigmoid < 0.5 => masked; fully-masked queries fall back to unmasked,
+  ref :424-425; the mask is stop_gradient'ed like the reference's
+  .detach() :354) — then self-attention and FFN, post-norm, matching mmcv's
+  ('cross_attn','norm','self_attn','norm','ffn','norm') order.
+- Hungarian-matched mask-classification loss over the final AND every
+  auxiliary decoder layer (ref loss over all_cls_scores/all_mask_preds).
+
+TPU notes: all shapes static; the matcher runs on host via pure_callback
+(tiny Q x T cost matrices); attention softmax in fp32.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.msdeform_attn import msdeform_attn_3d
+from ..ops.resize import resize_trilinear
 
-class MaskedCrossAttentionLayer(nn.Module):
+
+def sine_pos_embed_3d(shape, channels: int, temperature: float = 10000.0):
+    """3D sine positional encoding, [X, Y, Z, channels] (normalized coords,
+    channels split across the three axes; ref SinePositionalEncoding with
+    normalize=True extended to 3D)."""
+    x_len, y_len, z_len = shape
+    per = channels // 3
+    per_last = channels - 2 * per
+
+    def axis_embed(n, nfeat):
+        # half-open normalized positions, matching normalize=True (+eps
+        # behavior is irrelevant for our fixed grids)
+        nf = nfeat + (nfeat % 2)  # even working width, slice at the end
+        pos = (jnp.arange(n, dtype=jnp.float32) + 1.0) / n * (2 * np.pi)
+        dim_t = temperature ** (
+            2 * (jnp.arange(nf, dtype=jnp.float32) // 2) / max(nf, 1)
+        )
+        ang = pos[:, None] / dim_t[None]
+        emb = jnp.stack(
+            [jnp.sin(ang[:, 0::2]), jnp.cos(ang[:, 1::2])], axis=-1
+        ).reshape(n, -1)
+        return emb[:, :nfeat]
+
+    ex = axis_embed(x_len, per)[:, None, None, :]
+    ey = axis_embed(y_len, per)[None, :, None, :]
+    ez = axis_embed(z_len, per_last)[None, None, :, :]
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(ex, (x_len, y_len, z_len, per)),
+            jnp.broadcast_to(ey, (x_len, y_len, z_len, per)),
+            jnp.broadcast_to(ez, (x_len, y_len, z_len, per_last)),
+        ],
+        axis=-1,
+    )
+
+
+class FFN(nn.Module):
     embed_dim: int
-    num_heads: int = 4
+    hidden_dim: int
 
     @nn.compact
-    def __call__(self, queries, feats, attn_bias):
-        """queries: [B, Q, C]; feats: [B, V, C]; attn_bias: [B, Q, V]."""
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(queries).astype(
-            queries.dtype
-        )
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.embed_dim,
-            name="cross_attn",
-        )(y, feats, mask=None, sow_weights=False)
-        # masked attention: recompute with additive bias via manual qkv is
-        # heavyweight; the bias is folded by gating the attended features
-        # per-query with the mask coverage (equivalent softened variant)
-        gate = nn.sigmoid(
-            jnp.mean(attn_bias.astype(jnp.float32), axis=-1)
-        )[..., None].astype(queries.dtype)
-        queries = queries + attn * gate
+    def __call__(self, x):
+        y = nn.Dense(self.hidden_dim, name="fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.embed_dim, name="fc2")(y)
+        return x + y
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(queries).astype(
-            queries.dtype
+
+class DeformableEncoderLayer3D(nn.Module):
+    """One 3D deformable self-attention encoder layer (post-norm)."""
+
+    embed_dim: int
+    num_heads: int = 8
+    num_points: int = 4
+    num_levels: int = 2
+    ffn_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, tokens, pos, ref_points, spatial_shapes):
+        """tokens: [B, V, C]; pos: [V, C]; ref_points: [V, 3] in [0,1];
+        spatial_shapes: static list of per-level (X, Y, Z)."""
+        b, v, c = tokens.shape
+        h, p, lv = self.num_heads, self.num_points, self.num_levels
+        q = tokens + pos[None].astype(tokens.dtype)
+
+        value = nn.Dense(self.embed_dim, name="value_proj")(tokens)
+        offsets = nn.Dense(
+            h * lv * p * 3, name="sampling_offsets",
+            kernel_init=nn.initializers.zeros,
+        )(q).reshape(b, v, h, lv, p, 3)
+        weights = nn.Dense(
+            h * lv * p, name="attention_weights",
+            kernel_init=nn.initializers.zeros,
+        )(q).reshape(b, v, h, lv * p)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1).astype(
+            tokens.dtype
+        ).reshape(b, v, h, lv, p)
+
+        norm = jnp.asarray(
+            [[s[0], s[1], s[2]] for s in spatial_shapes], jnp.float32
+        )  # [L, 3]
+        loc = (
+            ref_points[None, :, None, None, None, :]
+            + offsets.astype(jnp.float32) / norm[None, None, None, :, None, :]
         )
+        out = msdeform_attn_3d(value, spatial_shapes, loc, weights, h)
+        out = nn.Dense(self.embed_dim, name="output_proj")(out)
+        tokens = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            tokens + out
+        ).astype(tokens.dtype)
+        tokens = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            FFN(self.embed_dim, self.embed_dim * self.ffn_ratio, name="ffn")(
+                tokens
+            )
+        ).astype(tokens.dtype)
+        return tokens
+
+
+class OccPixelDecoder3D(nn.Module):
+    """Multi-scale 3D pixel decoder (deformable-attention encoder + FPN).
+
+    Input feats are high-res first: [B, Xi, Yi, Zi, Ci]. Returns
+    (mask_feature [B, X0, Y0, Z0, out_channels],
+     multi_scale_memorys low-res first, one per input level).
+    ref: occupancy_pixel_decoder.py:170-290
+    """
+
+    feat_channels: int = 64
+    out_channels: int = 64
+    num_encoder_levels: int = 2
+    num_encoder_layers: int = 2
+    num_heads: int = 8
+    num_points: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        n_levels = len(feats)
+        n_enc = min(self.num_encoder_levels, n_levels)
+        c = self.feat_channels
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (n_enc, c)
+        )
+
+        # --- encoder over the n_enc lowest-resolution levels ---
+        tokens, poss, refs, shapes = [], [], [], []
+        for i in range(n_enc):
+            level_idx = n_levels - 1 - i  # from lowest resolution up
+            f = feats[level_idx]
+            _, x, y, z, _ = f.shape
+            proj = nn.Dense(c, name=f"input_proj{i}")(f)
+            proj = nn.GroupNorm(
+                num_groups=min(32, c), dtype=jnp.float32,
+                name=f"input_gn{i}",
+            )(proj).astype(f.dtype)
+            pos = sine_pos_embed_3d((x, y, z), c) + level_embed[i]
+            gx, gy, gz = jnp.meshgrid(
+                (jnp.arange(x) + 0.5) / x,
+                (jnp.arange(y) + 0.5) / y,
+                (jnp.arange(z) + 0.5) / z,
+                indexing="ij",
+            )
+            tokens.append(proj.reshape(f.shape[0], -1, c))
+            poss.append(pos.reshape(-1, c))
+            refs.append(
+                jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+            )
+            shapes.append((x, y, z))
+
+        tok = jnp.concatenate(tokens, axis=1)
+        pos = jnp.concatenate(poss, axis=0)
+        ref = jnp.concatenate(refs, axis=0)
+        for li in range(self.num_encoder_layers):
+            tok = DeformableEncoderLayer3D(
+                embed_dim=c, num_heads=self.num_heads,
+                num_points=self.num_points, num_levels=n_enc,
+                name=f"encoder{li}",
+            )(tok, pos, ref, shapes)
+
+        # split back to volumes (low-res first)
+        outs = []
+        offset = 0
+        for i, (x, y, z) in enumerate(shapes):
+            v = x * y * z
+            outs.append(tok[:, offset: offset + v].reshape(-1, x, y, z, c))
+            offset += v
+
+        # --- FPN over the remaining high-res levels ---
+        for i in range(n_levels - n_enc - 1, -1, -1):
+            lateral = nn.Dense(c, name=f"lateral{i}")(feats[i])
+            lateral = nn.GroupNorm(
+                num_groups=min(32, c), dtype=jnp.float32, name=f"lateral_gn{i}"
+            )(lateral).astype(feats[i].dtype)
+            up = resize_trilinear(outs[-1], feats[i].shape[1:4])
+            y = lateral + up
+            y = nn.Conv(c, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+                        name=f"output_conv{i}")(y)
+            y = nn.GroupNorm(
+                num_groups=min(32, c), dtype=jnp.float32, name=f"output_gn{i}"
+            )(y).astype(feats[i].dtype)
+            outs.append(nn.relu(y))
+
+        mask_feature = nn.Dense(self.out_channels, name="mask_feature")(
+            outs[-1]
+        )
+        return mask_feature, outs
+
+
+class MaskedCrossAttention(nn.Module):
+    """Multi-head cross-attention with a per-(query, voxel) additive mask
+    bias inside the softmax — the Mask2Former core mechanism
+    (ref mask2former_occ.py:344-356,424-429). Manual qkv so the bias enters
+    the energies, not the output."""
+
+    embed_dim: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, queries, query_pos, feats, feat_pos, attn_mask):
+        """queries: [B, Q, C]; feats: [B, V, C]; attn_mask: [B, Q, V] bool
+        (True = DO NOT attend)."""
+        h = self.num_heads
+        dh = self.embed_dim // h
+        q = nn.DenseGeneral((h, dh), name="q_proj")(queries + query_pos)
+        k = nn.DenseGeneral((h, dh), name="k_proj")(feats + feat_pos)
+        v = nn.DenseGeneral((h, dh), name="v_proj")(feats)
+        energy = jnp.einsum(
+            "bqhd,bvhd->bhqv", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(dh)
+        # fully-masked queries fall back to unmasked attention (ref :424-425)
+        all_masked = jnp.all(attn_mask, axis=-1, keepdims=True)
+        mask = attn_mask & ~all_masked
+        energy = jnp.where(mask[:, None], -1e9, energy.astype(jnp.float32))
+        attn = jax.nn.softmax(energy, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqv,bvhd->bqhd", attn, v)
+        out = out.reshape(*queries.shape[:2], self.embed_dim)
+        out = nn.Dense(self.embed_dim, name="out_proj")(out)
+        if self.is_mutable_collection("intermediates"):
+            self.sow("intermediates", "attn_weights", attn)
+        return out
+
+
+class DecoderLayer(nn.Module):
+    """Masked cross-attn -> self-attn -> FFN, post-norm (mmcv
+    DetrTransformerDecoderLayer order for Mask2Former)."""
+
+    embed_dim: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, queries, query_pos, feats, feat_pos, attn_mask):
+        y = MaskedCrossAttention(
+            self.embed_dim, self.num_heads, name="cross_attn"
+        )(queries, query_pos, feats, feat_pos, attn_mask)
+        queries = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            queries + y
+        ).astype(queries.dtype)
+
+        q = queries + query_pos
         self_attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=self.embed_dim,
             name="self_attn",
-        )(y, y)
-        queries = queries + self_attn
+        )(q, q, queries)
+        queries = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            queries + self_attn
+        ).astype(queries.dtype)
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm3")(queries).astype(
-            queries.dtype
-        )
-        y = nn.Dense(self.embed_dim * 2, name="ffn1")(y)
-        y = nn.relu(y)
-        y = nn.Dense(self.embed_dim, name="ffn2")(y)
-        return queries + y
+        queries = nn.LayerNorm(dtype=jnp.float32, name="norm3")(
+            FFN(self.embed_dim, self.embed_dim * 4, name="ffn")(queries)
+        ).astype(queries.dtype)
+        return queries
 
 
 class Mask2FormerOccHead(nn.Module):
+    """Query-based occupancy head over multi-scale voxel features.
+
+    Accepts either a list of multi-scale voxel features (high-res first,
+    [B, Xi, Yi, Zi, Ci] — the backbone pyramid, as in the reference) or a
+    single feature volume (scales are derived by stride-2 average pooling).
+    """
+
     num_queries: int = 50
     embed_dim: int = 64
     num_layers: int = 3
     num_classes: int = 20
+    num_heads: int = 8
+    num_feat_levels: int = 2
+    num_encoder_layers: int = 2
 
     @nn.compact
     def __call__(self, voxel_feats, train: bool = False):
-        """voxel_feats: [B, X, Y, Z, C] -> dict with mask/class logits."""
-        b, x, y, z, c = voxel_feats.shape
-        v = x * y * z
-        feats = nn.Dense(self.embed_dim, name="input_proj")(
-            voxel_feats.reshape(b, v, c)
-        )
-        mask_feats = nn.Dense(self.embed_dim, name="mask_feat_proj")(feats)
+        if isinstance(voxel_feats, (list, tuple)):
+            feats = list(voxel_feats)
+        else:
+            feats = [voxel_feats]
+            for _ in range(self.num_feat_levels - 1):
+                f = feats[-1]
+                feats.append(
+                    nn.avg_pool(f, (2, 2, 2), strides=(2, 2, 2))
+                    if min(f.shape[1:4]) >= 2 else f
+                )
+        b = feats[0].shape[0]
+        x0, y0, z0 = feats[0].shape[1:4]
+        c = self.embed_dim
 
-        queries = self.param(
+        mask_feats, memories = OccPixelDecoder3D(
+            feat_channels=c, out_channels=c,
+            num_encoder_levels=min(self.num_feat_levels, len(feats)),
+            num_encoder_layers=self.num_encoder_layers,
+            num_heads=self.num_heads, name="pixel_decoder",
+        )(feats)
+        # memories: low-res first; round-robin levels for the decoder
+        levels = memories[: self.num_feat_levels]
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feat_levels, c),
+        )
+        dec_feats, dec_pos, level_shapes = [], [], []
+        for i, m in enumerate(levels):
+            xs, ys, zs = m.shape[1:4]
+            dec_feats.append(
+                m.reshape(b, -1, c) + level_embed[i].astype(m.dtype)
+            )
+            dec_pos.append(
+                sine_pos_embed_3d((xs, ys, zs), c).reshape(-1, c)[None]
+            )
+            level_shapes.append((xs, ys, zs))
+
+        query_feat = self.param(
             "queries", nn.initializers.normal(0.02),
             (self.num_queries, self.embed_dim),
         )
-        q = jnp.broadcast_to(
-            queries[None], (b, self.num_queries, self.embed_dim)
-        ).astype(feats.dtype)
+        query_pos = self.param(
+            "query_pos", nn.initializers.normal(0.02),
+            (self.num_queries, self.embed_dim),
+        )
+        q = jnp.broadcast_to(query_feat[None], (b,) + query_feat.shape).astype(
+            mask_feats.dtype
+        )
+        qp = jnp.broadcast_to(query_pos[None], (b,) + query_pos.shape).astype(
+            mask_feats.dtype
+        )
 
         cls_head = nn.Dense(self.num_classes + 1, name="cls_head")
-        mask_head = nn.Dense(self.embed_dim, name="mask_head")
+        mask_mlp = [
+            nn.Dense(self.embed_dim, name=f"mask_head{i}") for i in range(3)
+        ]
+        decoder_norm = nn.LayerNorm(dtype=jnp.float32, name="decoder_norm")
 
-        def predict(q):
-            cls_logits = cls_head(q)
-            mask_embed = mask_head(q)
+        def predict(q, target_shape):
+            dec = decoder_norm(q).astype(q.dtype)
+            cls_logits = cls_head(dec)
+            e = dec
+            for i, layer in enumerate(mask_mlp):
+                e = layer(e)
+                if i < 2:
+                    e = nn.relu(e)
             mask_logits = jnp.einsum(
-                "bqc,bvc->bqv", mask_embed, mask_feats,
+                "bqc,bxyzc->bqxyz", e, mask_feats,
                 preferred_element_type=jnp.float32,
             )
-            return cls_logits, mask_logits
+            # attention mask for the NEXT layer: resample to the level's
+            # resolution; sigmoid < 0.5 => masked; detached (ref :344-356)
+            m = resize_trilinear(
+                mask_logits[..., None].astype(jnp.float32), target_shape
+            )[..., 0]
+            attn_mask = jax.lax.stop_gradient(m < 0.0).reshape(
+                b, self.num_queries, -1
+            )
+            return cls_logits, mask_logits, attn_mask
 
-        cls_logits, mask_logits = predict(q)
-        aux = []
+        cls_logits, mask_logits, attn_mask = predict(q, level_shapes[0])
+        aux = [(cls_logits, mask_logits.reshape(b, self.num_queries, -1))]
         for i in range(self.num_layers):
-            attn_bias = (mask_logits > 0).astype(jnp.float32)
-            q = MaskedCrossAttentionLayer(
-                self.embed_dim, name=f"layer{i}"
-            )(q, feats, attn_bias)
-            cls_logits, mask_logits = predict(q)
-            aux.append((cls_logits, mask_logits))
+            lvl = i % self.num_feat_levels
+            q = DecoderLayer(
+                self.embed_dim, self.num_heads, name=f"layer{i}"
+            )(q, qp, dec_feats[lvl], dec_pos[lvl].astype(q.dtype), attn_mask)
+            next_lvl = (i + 1) % self.num_feat_levels
+            cls_logits, mask_logits, attn_mask = predict(
+                q, level_shapes[next_lvl]
+            )
+            aux.append(
+                (cls_logits, mask_logits.reshape(b, self.num_queries, -1))
+            )
 
         return {
             "cls_logits": cls_logits,            # [B, Q, num_classes + 1]
-            "mask_logits": mask_logits.reshape(  # [B, Q, X, Y, Z]
-                b, self.num_queries, x, y, z
-            ),
+            "mask_logits": mask_logits,          # [B, Q, X, Y, Z]
             "aux": aux[:-1],
         }
 
@@ -141,11 +432,13 @@ def _hungarian_host(cost: np.ndarray) -> np.ndarray:
 
 def hungarian_match(cost: jnp.ndarray) -> jnp.ndarray:
     """cost: [B, Q, T] -> assignment [B, Q] (query -> target index).
-    Host callback: Q,T are tiny (tens)."""
+    Host callback: Q,T are tiny (tens). The assignment is a discrete
+    decision — gradients never flow through it (matching torch's no_grad
+    matcher), hence the stop_gradient."""
     return jax.pure_callback(
         _hungarian_host,
         jax.ShapeDtypeStruct(cost.shape[:2], jnp.int32),
-        cost,
+        jax.lax.stop_gradient(cost),
         vmap_method="sequential",
     )
 
@@ -157,7 +450,7 @@ def mask2former_loss(
     target_valid: jnp.ndarray,
     no_object_weight: float = 0.1,
 ):
-    """Hungarian-matched mask classification loss.
+    """Hungarian-matched mask classification loss (single layer).
 
     Args:
       outputs: head output dict (cls/mask logits).
@@ -169,7 +462,7 @@ def mask2former_loss(
     mask_logits = outputs["mask_logits"].astype(jnp.float32)
     b, qn = cls_logits.shape[:2]
     t = target_masks.shape[1]
-    v = np.prod(target_masks.shape[2:])
+    v = int(np.prod(target_masks.shape[2:]))
     masks_flat = mask_logits.reshape(b, qn, v)
     tgt_flat = target_masks.reshape(b, t, v).astype(jnp.float32)
 
@@ -233,3 +526,32 @@ def mask2former_loss(
         "loss_mask_bce": loss_mask,
         "loss_mask_dice": loss_dice,
     }
+
+
+def mask2former_loss_all_layers(
+    outputs,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    no_object_weight: float = 0.1,
+):
+    """Loss over the final layer plus every auxiliary decoder layer, each
+    Hungarian-matched independently (ref MaskFormerHead.loss over
+    all_cls_scores/all_mask_preds). Aux terms are suffixed `_aux{i}`."""
+    losses = mask2former_loss(
+        outputs, target_masks, target_classes, target_valid, no_object_weight
+    )
+    shape = outputs["mask_logits"].shape[2:]
+    b, qn = outputs["cls_logits"].shape[:2]
+    for i, (cls_l, mask_l) in enumerate(outputs.get("aux", [])):
+        aux_out = {
+            "cls_logits": cls_l,
+            "mask_logits": mask_l.reshape(b, qn, *shape),
+        }
+        aux_losses = mask2former_loss(
+            aux_out, target_masks, target_classes, target_valid,
+            no_object_weight,
+        )
+        for k, val in aux_losses.items():
+            losses[f"{k}_aux{i}"] = val
+    return losses

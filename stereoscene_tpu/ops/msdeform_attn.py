@@ -80,3 +80,83 @@ def msdeform_attn(
         outputs.append(sampled * attention_weights[:, :, :, lvl, :, None])
     out = sum(outputs).sum(axis=3)  # sum over points
     return out.reshape(b, -1, num_heads * ch)
+
+
+def _trilinear_sample_level(
+    value: jnp.ndarray, loc: jnp.ndarray
+) -> jnp.ndarray:
+    """value: [B, X, Y, Z, heads, c]; loc: [B, Q, heads, P, 3] normalized to
+    [0, 1] (align_corners=False half-pixel grid, (x, y, z) order). Returns
+    [B, Q, heads, P, c]."""
+    b, x, y, z, heads, c = value.shape
+    px = loc[..., 0] * x - 0.5
+    py = loc[..., 1] * y - 0.5
+    pz = loc[..., 2] * z - 0.5
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    z0 = jnp.floor(pz)
+    fx = (px - x0)[..., None]
+    fy = (py - y0)[..., None]
+    fz = (pz - z0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+
+    flat = value.transpose(0, 4, 1, 2, 3, 5).reshape(b, heads, x * y * z, c)
+    q, p = loc.shape[1], loc.shape[3]
+
+    def corner(xi, yi, zi, wgt):
+        inside = ((xi >= 0) & (xi < x) & (yi >= 0) & (yi < y)
+                  & (zi >= 0) & (zi < z))
+        xc = jnp.clip(xi, 0, x - 1)
+        yc = jnp.clip(yi, 0, y - 1)
+        zc = jnp.clip(zi, 0, z - 1)
+        idx = (xc * y + yc) * z + zc  # [B, Q, heads, P]
+        idx_h = idx.transpose(0, 2, 1, 3).reshape(b, heads, -1)
+        g = jnp.take_along_axis(flat, idx_h[..., None], axis=2)
+        g = g.reshape(b, heads, q, p, c).transpose(0, 2, 1, 3, 4)
+        return g * (wgt * inside[..., None].astype(value.dtype))
+
+    out = corner(x0i, y0i, z0i, (1 - fx) * (1 - fy) * (1 - fz))
+    out += corner(x0i + 1, y0i, z0i, fx * (1 - fy) * (1 - fz))
+    out += corner(x0i, y0i + 1, z0i, (1 - fx) * fy * (1 - fz))
+    out += corner(x0i + 1, y0i + 1, z0i, fx * fy * (1 - fz))
+    out += corner(x0i, y0i, z0i + 1, (1 - fx) * (1 - fy) * fz)
+    out += corner(x0i + 1, y0i, z0i + 1, fx * (1 - fy) * fz)
+    out += corner(x0i, y0i + 1, z0i + 1, (1 - fx) * fy * fz)
+    out += corner(x0i + 1, y0i + 1, z0i + 1, fx * fy * fz)
+    return out
+
+
+def msdeform_attn_3d(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """3D multi-scale deformable attention (trilinear sampling).
+
+    The occupancy pixel decoder's encoder uses this over voxel levels
+    (ref: maskformer/pixel_decoders/occupancy_pixel_decoder.py:16-290, which
+    drives the CUDA MultiScaleDeformableAttention over flattened 3D grids).
+
+    Args:
+      value: [B, sum(X*Y*Z), C] flattened multi-level voxel values.
+      spatial_shapes: static list of (X, Y, Z) per level.
+      sampling_locations: [B, Q, heads, levels, P, 3] in [0, 1].
+      attention_weights: [B, Q, heads, levels, P] (already softmaxed).
+    Returns: [B, Q, C].
+    """
+    b, _, c = value.shape
+    ch = c // num_heads
+    outputs = []
+    offset = 0
+    for lvl, (x, y, z) in enumerate(spatial_shapes):
+        v = value[:, offset: offset + x * y * z].reshape(
+            b, x, y, z, num_heads, ch)
+        offset += x * y * z
+        sampled = _trilinear_sample_level(v, sampling_locations[:, :, :, lvl])
+        outputs.append(sampled * attention_weights[:, :, :, lvl, :, None])
+    out = sum(outputs).sum(axis=3)
+    return out.reshape(b, -1, num_heads * ch)
