@@ -1,0 +1,334 @@
+"""BEVFormer detection stack: transformer decoder with iterative box
+refinement, detection head, and a camera-only detector.
+
+Rebuild of the reference's vendored BEVFormer detection subsystem
+(ref: bevformer/dense_heads/bevformer_head.py:29-560,
+bevformer/modules/decoder.py:52-130 DetectionTransformerDecoder +
+CustomMSDeformableAttention, bevformer/detectors/bevformer.py), built on the
+repo's existing pieces: the BEV encoder (models/bevformer.OccupancyEncoder)
+produces the BEV memory, and core/bbox3d.py provides the assigner/coder.
+
+TPU-first notes:
+- the decoder is a static Python unroll of layers; box refinement updates
+  reference points with stop_gradient exactly like the reference's
+  .detach() (decoder.py:115)
+- the CUDA MultiScaleDeformableAttention of the decoder's cross-attention
+  becomes ops.msdeform_attn gathers over the BEV grid
+- classification is sigmoid-focal (mmdet FocalLoss gamma=2 alpha=0.25);
+  regression is L1 on normalized boxes with the reference code weights
+  [1,1,1,1,1,1,1,1,0.2,0.2] (bevformer_head.py:68-69)
+- all shapes static; Hungarian matching via the host scipy callback
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.bbox3d import decode_nms_free, normalize_bbox
+from .bevformer import DeformableAttention, OccupancyEncoder
+
+
+def inverse_sigmoid(x, eps: float = 1e-5):
+    x = jnp.clip(x, eps, 1.0 - eps)
+    return jnp.log(x / (1.0 - x))
+
+
+class DetectionDecoderLayer(nn.Module):
+    """DetrTransformerDecoderLayer for BEVFormer: self-attn over object
+    queries, deformable cross-attn into the BEV memory, FFN (post-norm).
+    ref: decoder.py:131-260 (CustomMSDeformableAttention) wired through
+    mmcv's ('self_attn','norm','cross_attn','norm','ffn','norm')."""
+
+    embed_dim: int
+    num_heads: int = 8
+    num_points: int = 4
+    ffn_ratio: int = 2
+
+    @nn.compact
+    def __call__(self, query, query_pos, bev_memory, bev_shape, ref_2d):
+        """query: [B, Q, C]; bev_memory: [B, H*W, C]; ref_2d: [B, Q, 2]."""
+        q = query + query_pos
+        self_attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.embed_dim,
+            name="self_attn",
+        )(q, q, query)
+        query = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            query + self_attn
+        ).astype(query.dtype)
+
+        ref = ref_2d[:, :, None, :]  # [B, Q, 1 level, 2]
+        cross = DeformableAttention(
+            self.embed_dim, self.num_heads, self.num_points, num_levels=1,
+            name="cross_attn",
+        )(query + query_pos, bev_memory, [bev_shape], ref)
+        query = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            query + cross
+        ).astype(query.dtype)
+
+        y = nn.Dense(self.embed_dim * self.ffn_ratio, name="ffn1")(query)
+        y = nn.relu(y)
+        y = nn.Dense(self.embed_dim, name="ffn2")(y)
+        query = nn.LayerNorm(dtype=jnp.float32, name="norm3")(
+            query + y
+        ).astype(query.dtype)
+        return query
+
+
+class BEVFormerHead(nn.Module):
+    """Detection head: learned object queries decoded against the BEV memory
+    with per-layer iterative reference-point refinement
+    (ref bevformer_head.py:130-225, decoder.py:66-128).
+
+    Outputs all_cls_scores [L, B, Q, num_classes] and all_bbox_preds
+    [L, B, Q, code_size] in the reference's normalized regression space
+    (cx, cy in meters after pc_range rescale; log sizes; sin/cos rot; vx,vy).
+    """
+
+    num_classes: int = 10
+    num_query: int = 100
+    embed_dim: int = 128
+    num_decoder_layers: int = 3
+    num_heads: int = 8
+    code_size: int = 10
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    with_box_refine: bool = True
+
+    @nn.compact
+    def __call__(self, bev_memory, bev_shape: Tuple[int, int]):
+        b = bev_memory.shape[0]
+        c = self.embed_dim
+
+        query_embed = self.param(
+            "query_embedding", nn.initializers.normal(1.0),
+            (self.num_query, 2 * c),
+        )
+        qe = jnp.broadcast_to(
+            query_embed[None], (b, self.num_query, 2 * c)
+        ).astype(bev_memory.dtype)
+        query_pos, query = qe[..., :c], qe[..., c:]
+
+        # initial normalized 3D reference points from the query positions
+        # (ref transformer.py reference_points = Linear(query_pos).sigmoid())
+        ref = nn.Dense(3, name="reference_points")(query_pos)
+        ref = nn.sigmoid(ref.astype(jnp.float32))
+
+        # per-layer branches when refining, shared otherwise
+        # (ref _init_layers: _get_clones vs shared ModuleList)
+        num_pred = self.num_decoder_layers if self.with_box_refine else 1
+        branch_mods = []
+        for i in range(num_pred):
+            cls = [
+                (nn.Dense(c, name=f"cls{i}_fc{j}"),
+                 nn.LayerNorm(dtype=jnp.float32, name=f"cls{i}_ln{j}"))
+                for j in range(2)
+            ]
+            cls_out = nn.Dense(self.num_classes, name=f"cls{i}_out",
+                               bias_init=nn.initializers.constant(-2.0))
+            reg = [nn.Dense(c, name=f"reg{i}_fc{j}") for j in range(2)]
+            reg_out = nn.Dense(self.code_size, name=f"reg{i}_out")
+            branch_mods.append((cls, cls_out, reg, reg_out))
+
+        all_cls, all_bbox = [], []
+        pc = np.asarray(self.pc_range, np.float32)
+        for i in range(self.num_decoder_layers):
+            bi = i if self.with_box_refine else 0
+            query = DetectionDecoderLayer(
+                self.embed_dim, self.num_heads, name=f"layer{i}"
+            )(query, query_pos, bev_memory, bev_shape, ref[..., :2])
+
+            cls_fcs, cls_out, reg_fcs, reg_out = branch_mods[bi]
+            y = query
+            for fc, ln in cls_fcs:
+                y = nn.relu(ln(fc(y)).astype(y.dtype))
+            cls_logits = cls_out(y)
+
+            y = query
+            for fc in reg_fcs:
+                y = nn.relu(fc(y))
+            tmp = reg_out(y).astype(jnp.float32)
+
+            # decode around the current reference (bevformer_head.py:194-216)
+            ref_inv = inverse_sigmoid(ref)
+            cx_cy = nn.sigmoid(tmp[..., 0:2] + ref_inv[..., 0:2])
+            cz = nn.sigmoid(tmp[..., 4:5] + ref_inv[..., 2:3])
+            coord = jnp.concatenate(
+                [
+                    cx_cy[..., 0:1] * (pc[3] - pc[0]) + pc[0],
+                    cx_cy[..., 1:2] * (pc[4] - pc[1]) + pc[1],
+                    tmp[..., 2:4],
+                    cz * (pc[5] - pc[2]) + pc[2],
+                    tmp[..., 5:],
+                ],
+                axis=-1,
+            )
+            all_cls.append(cls_logits)
+            all_bbox.append(coord)
+
+            if self.with_box_refine:
+                # iterative refinement with detached references
+                # (decoder.py:105-117)
+                new_ref = jnp.concatenate(
+                    [
+                        nn.sigmoid(tmp[..., 0:2] + ref_inv[..., 0:2]),
+                        nn.sigmoid(tmp[..., 4:5] + ref_inv[..., 2:3]),
+                    ],
+                    axis=-1,
+                )
+                ref = jax.lax.stop_gradient(new_ref)
+
+        return {
+            "all_cls_scores": jnp.stack(all_cls),    # [L, B, Q, classes]
+            "all_bbox_preds": jnp.stack(all_bbox),   # [L, B, Q, code_size]
+        }
+
+
+class BEVFormerDetector(nn.Module):
+    """Camera-only BEV detector: multi-camera image features -> BEV encoder
+    -> BEVFormerHead (ref bevformer/detectors/bevformer.py:BEVFormer, the
+    registered `BEVOcc` alternates' detection sibling)."""
+
+    num_classes: int = 10
+    num_query: int = 100
+    embed_dim: int = 128
+    bev_shape: Tuple[int, int] = (32, 32)
+    num_encoder_layers: int = 2
+    num_decoder_layers: int = 3
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+    @nn.compact
+    def __call__(self, img_feats, spatial_shapes, lidar2img, img_size,
+                 prev_bev=None):
+        """img_feats: [B, N_cam, sum(HW), C_in]; lidar2img: [B, N_cam, 3, 4].
+        Returns the head output dict plus the BEV memory."""
+        feats = nn.Dense(self.embed_dim, name="input_proj")(img_feats)
+        bev = OccupancyEncoder(
+            embed_dim=self.embed_dim, num_layers=self.num_encoder_layers,
+            bev_shape=self.bev_shape, pc_range=self.pc_range,
+            name="bev_encoder",
+        )(feats, spatial_shapes, lidar2img, img_size, prev_bev=prev_bev)
+        out = BEVFormerHead(
+            num_classes=self.num_classes, num_query=self.num_query,
+            embed_dim=self.embed_dim,
+            num_decoder_layers=self.num_decoder_layers,
+            pc_range=self.pc_range, name="pts_bbox_head",
+        )(bev, self.bev_shape)
+        out["bev_embed"] = bev
+        return out
+
+
+def sigmoid_focal_loss(logits, targets_onehot, alpha=0.25, gamma=2.0):
+    """mmdet sigmoid FocalLoss, elementwise [.., C]."""
+    p = jax.nn.sigmoid(logits)
+    ce = (
+        jnp.maximum(logits, 0) - logits * targets_onehot
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    p_t = p * targets_onehot + (1 - p) * (1 - targets_onehot)
+    alpha_t = alpha * targets_onehot + (1 - alpha) * (1 - targets_onehot)
+    return alpha_t * ((1 - p_t) ** gamma) * ce
+
+
+def bevformer_detection_loss(
+    outputs,
+    gt_bboxes: jnp.ndarray,    # [B, T, 9] (cx,cy,cz,w,l,h,rot,vx,vy) metric
+    gt_labels: jnp.ndarray,    # [B, T]
+    gt_valid: jnp.ndarray,     # [B, T] bool
+    num_classes: int = 10,
+    cls_weight: float = 2.0,
+    bbox_weight: float = 0.25,
+    code_weights: Sequence[float] = (1, 1, 1, 1, 1, 1, 1, 1, 0.2, 0.2),
+):
+    """Per-decoder-layer Hungarian-matched focal + L1 loss
+    (ref bevformer_head.py:338-495 loss_single/loss)."""
+    gt_norm = normalize_bbox(gt_bboxes.astype(jnp.float32))  # [B, T, 10]
+    # our normalize_bbox layout is (cx,cy,cz,logw,logl,logh,sin,cos,vx,vy);
+    # the head emits the reference layout (cx,cy,logw,logl,cz,logh,sin,cos,
+    # vx,vy) (mmdet3d normalize_bbox) — reorder GT to match
+    gt_norm = jnp.concatenate(
+        [gt_norm[..., 0:2], gt_norm[..., 3:5], gt_norm[..., 2:3],
+         gt_norm[..., 5:]], axis=-1,
+    )
+    cw = jnp.asarray(code_weights, jnp.float32)
+
+    losses = {}
+    for lvl in range(outputs["all_cls_scores"].shape[0]):
+        cls_logits = outputs["all_cls_scores"][lvl].astype(jnp.float32)
+        bbox_preds = outputs["all_bbox_preds"][lvl].astype(jnp.float32)
+        b, qn, _ = cls_logits.shape
+
+        # the assigner's class cost with sigmoid heads: focal-style
+        # -log sigmoid of the gt class; reuse log_softmax-free variant
+        logp = jax.nn.log_sigmoid(cls_logits)
+        t = gt_labels.shape[1]
+        cost_cls = -jnp.take_along_axis(
+            jnp.broadcast_to(logp[:, :, None], (b, qn, t, num_classes)),
+            jnp.broadcast_to(
+                gt_labels[:, None, :, None], (b, qn, t, 1)
+            ).astype(jnp.int32),
+            axis=-1,
+        )[..., 0]
+        cost_reg = jnp.sum(
+            jnp.abs(
+                bbox_preds[:, :, None, :8] - gt_norm[:, None, :, :8]
+            ),
+            axis=-1,
+        )
+        cost = cost_cls + bbox_weight * cost_reg
+        cost = cost + 1e4 * (~gt_valid)[:, None].astype(jnp.float32)
+        from .mask2former_occ import hungarian_match
+
+        assign = hungarian_match(cost)
+        safe = jnp.maximum(assign, 0)
+        matched_valid = (assign >= 0) & jnp.take_along_axis(
+            gt_valid, safe, axis=1
+        )
+
+        matched_cls = jnp.take_along_axis(gt_labels, safe, axis=1)
+        onehot = jax.nn.one_hot(
+            jnp.where(matched_valid, matched_cls, num_classes),
+            num_classes + 1,
+        )[..., :num_classes]
+        focal = sigmoid_focal_loss(cls_logits, onehot).sum(-1)
+        num_pos = jnp.maximum(matched_valid.sum(), 1.0)
+        loss_cls = cls_weight * focal.sum() / num_pos
+
+        matched_boxes = jnp.take_along_axis(
+            gt_norm, safe[..., None], axis=1
+        )
+        l1 = jnp.abs(bbox_preds - matched_boxes) * cw
+        # isnan guard matches the reference's torch.isnan filtering
+        l1 = jnp.where(jnp.isfinite(l1), l1, 0.0)
+        loss_bbox = bbox_weight * jnp.sum(
+            l1 * matched_valid[..., None]
+        ) / num_pos
+
+        suffix = "" if lvl == outputs["all_cls_scores"].shape[0] - 1 \
+            else f".d{lvl}"
+        losses[f"loss_cls{suffix}"] = loss_cls
+        losses[f"loss_bbox{suffix}"] = loss_bbox
+    return losses
+
+
+def bevformer_get_bboxes(outputs, max_num: int = 100,
+                         post_center_range=(-61.2, -61.2, -10.0,
+                                            61.2, 61.2, 10.0)):
+    """Decode the last decoder layer with the NMS-free coder
+    (ref bevformer_head.py:496-529 -> NMSFreeCoder). The head's bbox preds
+    store (cx, cy) and cz in metric space already, so re-normalization is
+    not needed; sizes are log-space, rot is (sin, cos)."""
+    cls = outputs["all_cls_scores"][-1]
+    bbox = outputs["all_bbox_preds"][-1]
+    # decode_nms_free expects the normalized layout [cx,cy,cz,logw,logl,
+    # logh,sin,cos,vx,vy] with cz at index 2; the head emits cz at index 4
+    # (reference layout) -> reorder
+    reordered = jnp.concatenate(
+        [bbox[..., 0:2], bbox[..., 4:5], bbox[..., 2:4], bbox[..., 5:]],
+        axis=-1,
+    )
+    return decode_nms_free(cls, reordered, max_num=max_num,
+                           post_center_range=post_center_range)
