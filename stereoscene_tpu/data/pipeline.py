@@ -52,6 +52,11 @@ class PipelineConfig:
     bda_rot_lim: Tuple[float, float] = (-22.5, 22.5)
     bda_flip_dx_ratio: float = 0.5
     bda_flip_dy_ratio: float = 0.5
+    # CRP relation-label GT (ref voxel_labels.py:66 CreateRelationLabels):
+    # when set, gt_occ is MonoScene-downsampled to this shape and the
+    # 4-way voxel<->mega-voxel relation matrix is emitted as
+    # sample['cp_mega_matrix'] for the crp_relation_loss.
+    relation_label_shape: Optional[Tuple[int, int, int]] = None
 
 
 def sample_augmentation(
@@ -220,6 +225,20 @@ class SemanticKittiPipeline:
 
         if gt_occ is not None:
             sample["gt_occ"] = gt_occ
+            if cfg.relation_label_shape is not None:
+                from .labels import (
+                    compute_cp_mega_matrix,
+                    downsample_label_monoscene,
+                )
+
+                shape = tuple(cfg.relation_label_shape)
+                ds = tuple(
+                    g // s for g, s in zip(gt_occ.shape, shape)
+                )
+                target = downsample_label_monoscene(
+                    gt_occ.astype(np.uint8), ds
+                )
+                sample["cp_mega_matrix"] = compute_cp_mega_matrix(target)
 
         if cfg.load_lidar_depth and frame.lidar_path is not None:
             sample.update(self._lidar_products(frame, sample))

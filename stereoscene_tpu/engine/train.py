@@ -156,6 +156,11 @@ class LossConfig:
     loss_depth_type: str = "bce"  # 'bce' | 'kld' (ref :405-416)
     loss_seg_weight: float = 0.0  # imgseg aux head (ref :418-430)
     loss_crp_weight: float = 0.0  # CRP3D relation loss (ref resnet3d.py:213)
+    # point-supervision losses on the OccHead point branch
+    # (ref occhead.py:363-399 loss_point_single; CE ignore_index=0,
+    # lovasz ignore=0)
+    loss_point_ce_weight: float = 0.0
+    loss_point_lovasz_weight: float = 0.0
     ohem_topk: float = 0.25
     downsample: int = 8
     dbound: Tuple[float, float, float] = (2.0, 58.0, 0.5)
@@ -264,6 +269,44 @@ def compute_losses(
         losses["loss_rel_ce"] = cfg.loss_crp_weight * crp_relation_loss(
             outputs["crp_logits"], batch["cp_mega_matrix"]
         )
+
+    if (
+        (cfg.loss_point_ce_weight > 0 or cfg.loss_point_lovasz_weight > 0)
+        and outputs.get("output_points") is not None
+        and "points_occ" in batch
+    ):
+        # point supervision (ref occhead.py:363-399): targets are the
+        # labels column of points_occ; label 0 is ignored (the reference's
+        # CrossEntropyLoss(ignore_index=0) / lovasz ignore=0); padded slots
+        # beyond points_count are masked out.
+        logits = outputs["output_points"].astype(jnp.float32)  # [B, P, C]
+        target = batch["points_occ"][..., -1].astype(jnp.int32)  # [B, P]
+        p = target.shape[1]
+        in_count = (
+            jnp.arange(p)[None, :] < batch["points_count"][:, None]
+            if "points_count" in batch
+            else jnp.ones_like(target, bool)
+        )
+        valid = in_count & (target != 0)
+        safe_t = jnp.where(valid, target, 0)
+        if cfg.loss_point_ce_weight > 0:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[
+                ..., 0
+            ]
+            losses["loss_point_ce"] = cfg.loss_point_ce_weight * (
+                jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            )
+        if cfg.loss_point_lovasz_weight > 0:
+            from ..losses.lovasz import lovasz_softmax
+
+            probs = jax.nn.softmax(logits, axis=-1)
+            # fold the padding into the ignore label (0)
+            labels = jnp.where(in_count, target, 0)
+            losses["loss_point_lovasz"] = (
+                cfg.loss_point_lovasz_weight
+                * lovasz_softmax(probs, labels, ignore=0)
+            )
     return losses
 
 

@@ -76,6 +76,9 @@ class DetectorConfig:
     imgseg_class: int = 20
     crp3d: bool = False
     crp_mega_shape: Tuple[int, int, int] = (32, 32, 4)
+    # OccHead point decoder branch (ref occhead.py:171-218,363-399;
+    # supervise_points=False in the scored config stereoscene.py:111)
+    supervise_points: bool = False
 
     @property
     def num_depth(self) -> int:
@@ -181,6 +184,7 @@ class BEVDepthOccupancy(nn.Module):
             out_channel=cfg.out_channel,
             num_level=1,
             norm_groups=cfg.norm_groups,
+            supervise_points=cfg.supervise_points,
         )
         if cfg.imgseg:
             from .depth_net import BasicBlock2d
@@ -240,7 +244,8 @@ class BEVDepthOccupancy(nn.Module):
         )
 
     # ---- stage 3: 3D encoder + head (ref :62-81) ----
-    def bev_encode(self, voxel_feat, train: bool = False):
+    def bev_encode(self, voxel_feat, train: bool = False, points=None,
+                   img_feats=None, points_uv=None):
         if self.cfg.crp3d:
             voxel_outs, crp_logits = self.img_bev_encoder_backbone(
                 voxel_feat, train=train
@@ -249,8 +254,24 @@ class BEVDepthOccupancy(nn.Module):
             voxel_outs = self.img_bev_encoder_backbone(voxel_feat, train=train)
             crp_logits = None
         fused = self.img_bev_encoder_neck(voxel_outs, train=train)
-        head_out = self.pts_bbox_head([fused], train=train)
+        head_out = self.pts_bbox_head(
+            [fused], points=points, img_feats=img_feats,
+            points_uv=points_uv, train=train,
+        )
         return head_out, crp_logits
+
+    def _normalized_points(self, batch):
+        """points_occ ego xyz -> [-1, 1]^3 grid coords for the point branch
+        (the reference normalizes by point_cloud_range, occhead.py:180-186)."""
+        cfg = self.cfg
+        lo = jnp.asarray(
+            [cfg.xbound[0], cfg.ybound[0], cfg.zbound[0]], jnp.float32
+        )
+        hi = jnp.asarray(
+            [cfg.xbound[1], cfg.ybound[1], cfg.zbound[1]], jnp.float32
+        )
+        pts = batch["points_occ"][..., :3].astype(jnp.float32)
+        return (pts - lo) / (hi - lo) * 2.0 - 1.0
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         """batch keys (channels-last):
@@ -276,7 +297,16 @@ class BEVDepthOccupancy(nn.Module):
         )
         if self.voxel_constraint is not None:
             voxel_feat = self.voxel_constraint(voxel_feat)
-        head_out, crp_logits = self.bev_encode(voxel_feat, train=train)
+        points = img_feats_for_points = points_uv = None
+        if self.cfg.supervise_points and "points_occ" in batch:
+            points = self._normalized_points(batch)
+            img_feats_for_points = feat_left
+            if "points_uv" in batch:
+                points_uv = batch["points_uv"][..., :2]
+        head_out, crp_logits = self.bev_encode(
+            voxel_feat, train=train, points=points,
+            img_feats=img_feats_for_points, points_uv=points_uv,
+        )
 
         return {
             "output_voxels": head_out["output_voxels"],
