@@ -23,18 +23,30 @@ from .layers import BatchNorm, Conv2d, GroupNorm, Mlp, SELayer
 
 
 class BasicBlock2d(nn.Module):
-    """mmdet ResNet BasicBlock: 3x3-BN-ReLU-3x3-BN + residual."""
+    """mmdet ResNet BasicBlock: 3x3-norm-ReLU-3x3-norm + residual.
+
+    ``norm='gn'`` gives the SemKITTIDepthNet variant
+    (ref: semkitti_depthnet.py:201-204, BasicBlock(norm_cfg=GN))."""
 
     features: int
+    norm: str = "bn"
+    norm_groups: int = 2
+
+    def _norm(self, name):
+        if self.norm == "gn":
+            return GroupNorm(num_groups=self.norm_groups, name=name)
+        return BatchNorm(name=name)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = Conv2d(self.features, 3, padding=1, use_bias=False, name="conv1")(x)
-        y = BatchNorm(name="bn1")(y, train=train)
+        n1 = self._norm("bn1")
+        y = n1(y, train=train) if self.norm == "bn" else n1(y)
         y = nn.relu(y)
         y = Conv2d(self.features, 3, padding=1, use_bias=False, name="conv2")(y)
-        y = BatchNorm(name="bn2")(y, train=train)
+        n2 = self._norm("bn2")
+        y = n2(y, train=train) if self.norm == "bn" else n2(y)
         return nn.relu(y + residual)
 
 
@@ -101,9 +113,9 @@ class DeformConvPack(nn.Module):
             (9, cin // self.groups, self.features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
-        return deform_conv2d(x, offsets, weights.astype(x.dtype), bias,
+        # no bias: mmcv DeformConv2d (type 'DCN' -> DeformConv2dPack) has
+        # bias=False, so reference checkpoints carry no bias tensor
+        return deform_conv2d(x, offsets, weights.astype(x.dtype), None,
                              groups=self.groups)
 
 
@@ -134,20 +146,27 @@ class DepthAggregation(nn.Module):
 
 
 class DepthNet(nn.Module):
-    """[B*N, H, W, Cin] + [B*N, cam_channels] -> [B*N, H, W, D + C_ctx]."""
+    """[B*N, H, W, Cin] + [B*N, cam_channels] -> [B*N, H, W, D + C_ctx].
+
+    ``norm_mlp=False, block_norm='gn'`` reproduces the reference's
+    ``SemKITTIDepthNet`` variant exactly (semkitti_depthnet.py:171-233:
+    raw camera embedding — the GN is commented out there — and GN
+    BasicBlocks); the defaults are the BEVDepth ``DepthNet``."""
 
     mid_channels: int
     context_channels: int
     depth_channels: int
     cam_channels: int = 27
+    norm_mlp: bool = True
+    block_norm: str = "bn"
 
     @nn.compact
     def __call__(self, x, mlp_input, train: bool = False):
-        # camera embedding normalization: GN(2) over the raw vector
-        # (ref: ViewTransformerLSSBEVDepth.py:479)
-        mlp_input = GroupNorm(num_groups=2, name="bn")(
-            mlp_input.reshape(-1, mlp_input.shape[-1])
-        )
+        mlp_input = mlp_input.reshape(-1, mlp_input.shape[-1])
+        if self.norm_mlp:
+            # camera embedding normalization: GN(2) over the raw vector
+            # (ref: ViewTransformerLSSBEVDepth.py:479)
+            mlp_input = GroupNorm(num_groups=2, name="bn")(mlp_input)
 
         y = Conv2d(self.mid_channels, 3, padding=1, name="reduce_conv")(x)
         y = GroupNorm(num_groups=2, name="reduce_gn")(y)
@@ -162,9 +181,9 @@ class DepthNet(nn.Module):
                        name="depth_mlp")(mlp_input)
         depth = SELayer(self.mid_channels, name="depth_se")(y, depth_se)
         for i in range(3):
-            depth = BasicBlock2d(self.mid_channels, name=f"block{i}")(
-                depth, train=train
-            )
+            depth = BasicBlock2d(
+                self.mid_channels, norm=self.block_norm, name=f"block{i}"
+            )(depth, train=train)
         depth = ASPP(self.mid_channels, name="aspp")(depth, train=train)
         depth = DeformConvPack(self.mid_channels, name="dcn")(depth)
         depth = Conv2d(self.depth_channels, 1, name="depth_pred")(depth)

@@ -200,7 +200,11 @@ class BEVDepthOccupancy(nn.Module):
         """imgs: [B, 2, H, W, 3] -> (feat_left, feat_right) [B, fH, fW, C]."""
         cfg = self.cfg
         b = imgs.shape[0]
-        flat = imgs.reshape((b * 2,) + imgs.shape[2:])
+        # eye-major flattening ([L0..Lb, R0..Rb], matching the reference's
+        # batch-dim concat, ref :94) so the [:b]/[b:] split below separates
+        # eyes — a plain reshape would interleave samples and eyes and
+        # cross-correlate different samples for B > 1
+        flat = jnp.swapaxes(imgs, 0, 1).reshape((b * 2,) + imgs.shape[2:])
         if cfg.use_grid_mask and train:
             from ..data.augment import grid_mask
 

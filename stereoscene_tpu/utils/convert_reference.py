@@ -194,9 +194,9 @@ class NameMap:
         self.batchnorm(f"{ours}/out_bn", f"{theirs}.bn1")
 
     def dcn(self, ours: str, theirs: str):
+        # no bias: mmcv DeformConv2dPack is bias-free (bias=False default)
         self.add(ours, {
             "weight": (f"{theirs}.weight", cc.dcn_weight, _inv(cc.dcn_weight)),
-            "bias": (f"{theirs}.bias", _identity, _identity),
         })
         self.raw_conv(f"{ours}/conv_offset", f"{theirs}.conv_offset", 2,
                       bias=True)

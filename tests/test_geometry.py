@@ -104,16 +104,24 @@ def test_mlp_input_is_30d_for_kitti():
 def test_voxel_indices_and_ranks():
     dx, bx, nx = geometry.gen_dx_bx([0, 4, 1], [0, 4, 1], [0, 2, 1])
     geom = jnp.asarray(
-        [[0.2, 0.2, 0.2], [3.9, 3.9, 1.9], [-0.6, 0.0, 0.0], [4.6, 0.0, 0.0]]
+        [[0.2, 0.2, 0.2], [3.9, 3.9, 1.9], [-0.6, 0.0, 0.0], [4.6, 0.0, 0.0],
+         [-1.2, 0.0, 0.0]]
     )
     coords, valid = geometry.voxel_indices(geom, dx, bx, nx)
-    np.testing.assert_array_equal(np.asarray(valid), [True, True, False, False])
+    # [-0.6, ...] is kept in bin 0: the reference quantizes with torch's
+    # ``.long()`` (truncation toward zero), so fractional indices in (-1, 0)
+    # alias into the first bin (full-model golden parity depends on this)
+    np.testing.assert_array_equal(
+        np.asarray(valid), [True, True, True, False, False]
+    )
     np.testing.assert_array_equal(np.asarray(coords)[0], [0, 0, 0])
     np.testing.assert_array_equal(np.asarray(coords)[1], [3, 3, 1])
+    np.testing.assert_array_equal(np.asarray(coords)[2], [0, 0, 0])
     ranks = geometry.flatten_voxel_ranks(coords, valid, nx)
     assert int(ranks[0]) == 0
     assert int(ranks[1]) == 3 * 8 + 3 * 2 + 1
-    assert int(ranks[2]) == 32 and int(ranks[3]) == 32  # sentinel
+    assert int(ranks[2]) == 0
+    assert int(ranks[3]) == 32 and int(ranks[4]) == 32  # sentinel
 
 
 def test_disparity_positions_formula():

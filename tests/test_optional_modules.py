@@ -77,3 +77,31 @@ def test_occhead_point_branch():
     out = head.apply(variables, voxel_feats, points, img_feats, points_uv)
     assert out["output_points"].shape == (2, 64, 20)
     assert bool(jnp.all(jnp.isfinite(out["output_points"])))
+
+
+def test_semkitti_depthnet_variant():
+    """DepthNet(norm_mlp=False, block_norm='gn') is the reference's
+    SemKITTIDepthNet (semkitti_depthnet.py:171-233): no GN on the camera
+    embedding, GN BasicBlocks; output layout [D | context] unchanged."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from stereoscene_tpu.models.depth_net import DepthNet
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 16, 24).astype(np.float32))
+    mlp = jnp.asarray(rng.randn(2, 30).astype(np.float32))
+    net = DepthNet(
+        mid_channels=24, context_channels=8, depth_channels=16,
+        cam_channels=30, norm_mlp=False, block_norm="gn",
+    )
+    variables = net.init(jax.random.PRNGKey(0), x, mlp)
+    # no 'bn' (camera-embedding GN) param, GN blocks instead of BN
+    assert "bn" not in variables["params"]
+    assert "GroupNorm_0" in variables["params"]["block0"]["bn1"]
+    assert "batch_stats" not in variables or not any(
+        "block0" in k for k in variables.get("batch_stats", {})
+    )
+    out = net.apply(variables, x, mlp)
+    assert out.shape == (2, 8, 16, 16 + 8)
+    assert bool(jnp.all(jnp.isfinite(out)))
