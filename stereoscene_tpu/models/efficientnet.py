@@ -20,8 +20,11 @@ Activation checkpointing (`with_cp`, ref :105-108) maps to `jax.checkpoint`
 from __future__ import annotations
 
 import math
+import os
+from functools import partial
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -45,6 +48,20 @@ _BASE_BLOCKS = [
 _STEM = (3, 32, 2)  # kernel, channels, stride
 _HEAD = (1, 1280, 1)
 
+# EfficientNet-EdgeTPU ('e') table (ref: efficientnet.py:329-351
+# layer_settings['e']): se_ratio 0 (no SE), EdgeResidual blocks.
+_BASE_BLOCKS_E = [
+    [(3, 24, 0, 1, 3)],
+    [(3, 32, 0, 2, 8), (3, 32, 0, 1, 8)],
+    [(3, 48, 0, 2, 8), (3, 48, 0, 1, 8), (3, 48, 0, 1, 8),
+     (3, 48, 0, 1, 8)],
+    [(5, 96, 0, 2, 8), (5, 96, 0, 1, 8), (5, 96, 0, 1, 8),
+     (5, 96, 0, 1, 8), (5, 96, 0, 1, 8),
+     (5, 144, 0, 1, 8), (5, 144, 0, 1, 8), (5, 144, 0, 1, 8),
+     (5, 144, 0, 1, 8)],
+    [(5, 192, 0, 2, 8), (5, 192, 0, 1, 8)],
+]
+
 # (width_mult, depth_mult) per arch. ref: efficientnet.py:354-367
 ARCH_SETTINGS = {
     "b0": (1.0, 1.0),
@@ -56,6 +73,9 @@ ARCH_SETTINGS = {
     "b6": (1.8, 2.6),
     "b7": (2.0, 3.1),
     "b8": (2.2, 3.6),
+    "es": (1.0, 1.0),
+    "em": (1.0, 1.1),
+    "el": (1.2, 1.4),
 }
 
 
@@ -78,12 +98,18 @@ def scaled_stage_settings(arch: str):
     previous stage. (ref: efficientnet.py:231-271 model_scaling)
 
     Returns (stem_channels, stages, head_channels) where stages is a list of
-    lists of (kernel, out_ch, se_ratio, stride, expand).
+    lists of (kernel, out_ch, se_ratio, stride, expand) for the 'b' family,
+    or (kernel, out_ch, se_ratio, stride, expand, 'edge', with_residual)
+    7-tuples for the EdgeTPU 'e' family (es/em/el), whose depth-scaled
+    first-stage copies switch to expand 4 without residual
+    (ref: efficientnet.py:455-470 block_type==1 handling).
     """
     w, d = ARCH_SETTINGS[arch]
+    is_edge = arch[0] == "e"
+    table = _BASE_BLOCKS_E if is_edge else _BASE_BLOCKS
     # flatten blocks, scale width
     segments = []  # list of lists, split by out_channels
-    for group in _BASE_BLOCKS:
+    for group in table:
         current = []
         for (k, c, se, s, e) in group:
             c = make_divisible(c * w, 8)
@@ -109,6 +135,18 @@ def scaled_stage_settings(arch: str):
             stages[-1] = stages[-1] + seg
         else:
             stages.append(list(seg))
+
+    if is_edge:
+        # EdgeResidual 7-tuples; depth-scaled extra copies of the expand-3
+        # first block become expand-4 non-residual (ref :455-470)
+        stages = [
+            [
+                (k, c, se, s, 4 if (j > 0 and e == 3) else e, "edge",
+                 not (j > 0 and e == 3))
+                for j, (k, c, se, s, e) in enumerate(stage)
+            ]
+            for stage in stages
+        ]
 
     stem_channels = make_divisible(_STEM[1] * w, 8)
     head_channels = int(_HEAD[1] * w)
@@ -152,6 +190,108 @@ def depthwise_conv_shifted(x, kernel, stride: int):
     return acc
 
 
+def _dw_raw(x, kernel, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+    )
+
+
+def _use_safe_depthwise_vjp() -> bool:
+    """Whether to route depthwise convs through the GSPMD-safe custom VJP.
+
+    The XLA grouped-conv kernel-gradient bug this guards against only
+    manifests on multi-axis meshes with partially replicated operands —
+    single-device gradients are correct through the standard path. The
+    custom backward additionally triggers a TPU device fault when embedded
+    in the full detector backward on the current single-chip libtpu
+    (bisected: encoder-only grad is fine, full graph faults), so the safe
+    path is enabled exactly when more than one device is visible, i.e. when
+    it is needed. Override with STEREOSCENE_DW_SAFE_VJP=0/1.
+    """
+    mode = os.environ.get("STEREOSCENE_DW_SAFE_VJP", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return jax.device_count() > 1
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def depthwise_conv2d(x, kernel, stride, padding):
+    """Depthwise conv (NHWC, kernel [kh, kw, 1, C]) with a GSPMD-safe VJP.
+
+    XLA's SPMD partitioner mis-reduces the *kernel* gradient of
+    feature-grouped convolutions when operands are partially replicated on a
+    multi-axis mesh (observed on a ('data', 'space') mesh: dK scaled exactly
+    by the size of the unused 'space' axis for stride-1 kernels, garbage for
+    strided 5x5 ones; the data gradient and all other ops are fine). The
+    forward keeps XLA's fast grouped-conv lowering; the backward computes dK
+    with K^2 shifted elementwise multiply-reduces, whose partitioning rules
+    are exact.
+    """
+    return _dw_raw(x, kernel, stride, padding)
+
+
+def _dw_fwd(x, kernel, stride, padding):
+    return _dw_raw(x, kernel, stride, padding), (x, kernel)
+
+
+def _dw_bwd(stride, padding, res, dy):
+    x, kernel = res
+    _, vjp_x = jax.vjp(lambda t: _dw_raw(t, kernel, stride, padding), x)
+    (dx,) = vjp_x(dy)
+    kh, kw = kernel.shape[:2]
+    oh, ow = dy.shape[1], dy.shape[2]
+    xp = jnp.pad(x, ((0, 0), padding[0], padding[1], (0, 0)))
+    dyf = dy.astype(jnp.float32)
+    rows = []
+    for i in range(kh):
+        cols = []
+        for j in range(kw):
+            patch = jax.lax.slice(
+                xp,
+                (0, i, j, 0),
+                (xp.shape[0], i + (oh - 1) * stride + 1,
+                 j + (ow - 1) * stride + 1, xp.shape[3]),
+                (1, stride, stride, 1),
+            )
+            cols.append(
+                jnp.sum(patch.astype(jnp.float32) * dyf, axis=(0, 1, 2))
+            )
+        rows.append(jnp.stack(cols))
+    dk = jnp.stack(rows)[:, :, None, :].astype(kernel.dtype)
+    return dx, dk
+
+
+depthwise_conv2d.defvjp(_dw_fwd, _dw_bwd)
+
+
+class DepthwiseConv2dSame(nn.Module):
+    """Drop-in for ``nn.Conv(C, k, feature_group_count=C, padding='SAME',
+    use_bias=False)``: identical param tree ('kernel' [kh, kw, 1, C], same
+    default init) so checkpoint converters are unaffected, but with the
+    GSPMD-safe VJP above."""
+
+    kernel_size: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, 1, c)
+        )
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=None)
+        ph = _same_pad(x.shape[1], k, self.stride)
+        pw = _same_pad(x.shape[2], k, self.stride)
+        if _use_safe_depthwise_vjp():
+            return depthwise_conv2d(x, kernel, self.stride, (ph, pw))
+        return _dw_raw(x, kernel, self.stride, (ph, pw))
+
+
 class ConvBNAct(nn.Module):
     features: int
     kernel: int
@@ -164,15 +304,22 @@ class ConvBNAct(nn.Module):
         # NOTE: the explicit K^2 shift-FMA depthwise (depthwise_conv_shifted)
         # measured 2x SLOWER than XLA's grouped-conv lowering on v5e (25x
         # HBM reads don't fuse); keep XLA's lowering.
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",  # TF-adaptive padding (Conv2dAdaptivePadding)
-            feature_group_count=self.groups,
-            use_bias=False,
-            name="conv",
-        )(x)
+        if self.groups > 1:
+            assert self.groups == x.shape[-1] == self.features, (
+                "only full depthwise grouping is used in this backbone"
+            )
+            x = DepthwiseConv2dSame(
+                kernel_size=self.kernel, stride=self.stride, name="conv"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",  # TF-adaptive padding (Conv2dAdaptivePadding)
+                use_bias=False,
+                name="conv",
+            )(x)
         x = BatchNorm(epsilon=1e-3, name="bn")(x, train=train)
         if self.act:
             x = nn.swish(x)
@@ -216,6 +363,39 @@ class InvertedResidual(nn.Module):
         return out
 
 
+class EdgeResidual(nn.Module):
+    """EdgeTPU block (ref: efficientnet.py:15-111): full-kernel expand conv
+    at stride 1, optional SE, 1x1 *strided* projection, residual when
+    stride 1 and matching width."""
+
+    out_channels: int
+    kernel: int
+    stride: int
+    expand_ratio: int
+    se_ratio: int
+    with_residual: bool = True
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        mid = cin * self.expand_ratio
+        out = ConvBNAct(mid, self.kernel, name="conv1")(x, train=train)
+        if self.se_ratio > 0:
+            squeeze = max(1, int(mid // (self.expand_ratio * self.se_ratio)))
+            out = EffSELayer(mid, squeeze, name="se")(out)
+        out = ConvBNAct(
+            self.out_channels, 1, stride=self.stride, act=False, name="conv2"
+        )(out, train=train)
+        if self.with_residual and self.stride == 1 \
+                and cin == self.out_channels:
+            out = DropPath(self.drop_path_rate, name="drop_path")(
+                out, deterministic=not train
+            )
+            out = x + out
+        return out
+
+
 class CustomEfficientNet(nn.Module):
     """Multi-output EfficientNet.
 
@@ -256,10 +436,15 @@ class CustomEfficientNet(nn.Module):
         for stage_idx, stage in enumerate(stages, start=1):
             if stage_idx > max_needed:
                 break
-            for j, (k, c, se, s, e) in enumerate(stage):
-                block_cls = InvertedResidual
+            for j, blk in enumerate(stage):
+                if len(blk) == 5:
+                    k, c, se, s, e = blk
+                    block_cls, extra = InvertedResidual, {}
+                else:  # EdgeTPU 7-tuple
+                    k, c, se, s, e, _, resid = blk
+                    block_cls, extra = EdgeResidual, {"with_residual": resid}
                 if self.with_cp:
-                    block_cls = nn.remat(InvertedResidual, static_argnums=(2,))
+                    block_cls = nn.remat(block_cls, static_argnums=(2,))
                 x = block_cls(
                     out_channels=c,
                     kernel=k,
@@ -268,6 +453,7 @@ class CustomEfficientNet(nn.Module):
                     se_ratio=se,
                     drop_path_rate=dprs[block_idx],
                     name=f"stage{stage_idx}_block{j}",
+                    **extra,
                 )(x, train)
                 block_idx += 1
             if stage_idx in self.out_indices:

@@ -114,7 +114,10 @@ class ConvNd(nn.Module):
             and self.groups == 1
             and not isinstance(self.padding, str)
             and _tuple(self.padding, 3) == (1, 1, 1)
-            and 3 * self.features <= 128  # keeps the folded conv2d <=1 lane tile
+            # 64-ch convs win standalone (probe_conv3d 64->64 s1
+            # 2.12 -> 1.36 ms) but a widened <=192 gate measured neutral
+            # end-to-end (9.9 vs 10.0 fps, within run noise) — keep <=128
+            and 3 * self.features <= 128
         ):
             # MXU-lane-packing lowering for small-channel 3x3x3 convs;
             # exact math, identical param tree (see _ZPackConv3d).
