@@ -180,9 +180,11 @@ class OccupancyEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, img_feats, spatial_shapes, lidar2img, img_size,
-                 prev_bev=None):
+                 prev_bev=None, query_pos=None):
         """img_feats: [B, N_cam, sum(HW), C]; lidar2img: [B, N_cam, 3, 4]
-        (P @ Tr); img_size: (H, W) of the raw image."""
+        (P @ Tr); img_size: (H, W) of the raw image; query_pos: optional
+        [Q, C] positional embedding added to the initial BEV queries
+        (the reference's ``bev_pos``, bevocc_head.py:530-533)."""
         b, n_cam = img_feats.shape[:2]
         h, w = self.bev_shape
         q = h * w
@@ -190,6 +192,8 @@ class OccupancyEncoder(nn.Module):
         queries = self.param(
             "bev_queries", nn.initializers.normal(0.02), (q, self.embed_dim)
         )
+        if query_pos is not None:
+            queries = queries + query_pos.astype(queries.dtype)
         query = jnp.broadcast_to(
             queries[None], (b, q, self.embed_dim)
         ).astype(img_feats.dtype)

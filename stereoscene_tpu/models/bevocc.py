@@ -1,0 +1,276 @@
+"""BEVOcc: camera-only BEVFormer-style occupancy detectors (the reference's
+inactive 'BEVOcc' / 'BEVOcc_kitti' subsystem).
+
+Rebuild of ``BEVOcc``/``BEVOcc_kitti`` + ``BEVOccHead``
+(ref: occupancy/detectors/bevocc.py:25-587, detectors/bevocc_kitti.py,
+dense_heads/bevocc_head.py:39-1045, bevocc_head_kitti.py):
+
+- ``LearnedPositionalEncoding``: row/col embedding grids added to BEV
+  queries (ref: bevocc_head.py:1048-1080).
+- ``BEVOccupancyHead``: an FPN pyramid of learned BEV query planes (level i
+  at ``bev_shape * 2^(L-1-i)``), each refined by our TSA+SCA
+  ``OccupancyEncoder`` over the camera features (ref ``get_bev_features``),
+  lifted channel-to-height into 3D grids, fused coarse-to-fine by stride-2
+  deconv deblocks with additive skips (ref: bevocc_head.py:640-658), and
+  decoded to per-scale occupancy logits (semantic ``out_channel`` classes or
+  binary geometry).
+- ``bevocc_loss``: the reference's multi-scale supervision — ground-truth
+  mode-pooled to each scale (ref :825-829 reshape+mode), weighted CE with
+  ignore 255 (semantic, class-0 weight 0.1, ref :947-967) or BCE with
+  pos_weight 10 (binary, ref :833-837), 0.5^k scale decay, optional dice IoU
+  term (ref :700-703).
+- ``BEVOcc``: full detector (shared image backbone over cameras -> neck ->
+  head); ``BEVOcc_kitti`` is the single/stereo-camera KITTI wiring of the
+  same graph (ref bevocc_kitti.py differs from bevocc.py only in dataset
+  plumbing and eval metrics, which live in data/ and metrics.py here).
+
+TPU-first notes: queries are dense [B, Q, C] planes (no sparse query drops),
+mode pooling is a one-hot histogram argmax (no data-dependent torch.mode),
+and all camera loops are batch-folded.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .bevformer import OccupancyEncoder
+from .layers import ConvTransposeTorch, Conv3d, GroupNorm
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """Row/col learned position embeddings (ref: bevocc_head.py:1048-1080)."""
+
+    num_feats: int
+    row_num_embed: int
+    col_num_embed: int
+
+    @nn.compact
+    def __call__(self, h: int, w: int):
+        row = self.param("row_embed", nn.initializers.uniform(1.0),
+                         (self.row_num_embed, self.num_feats))
+        col = self.param("col_embed", nn.initializers.uniform(1.0),
+                         (self.col_num_embed, self.num_feats))
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(col[None, :w], (h, w, self.num_feats)),
+                jnp.broadcast_to(row[:h, None], (h, w, self.num_feats)),
+            ],
+            axis=-1,
+        )
+        return pos.reshape(h * w, 2 * self.num_feats)
+
+
+class BEVOccupancyHead(nn.Module):
+    """Multi-scale BEV-query occupancy head (ref: bevocc_head.py:39-698)."""
+
+    embed_dim: int = 128
+    fpn_level: int = 2
+    bev_shape: Tuple[int, int] = (16, 16)   # coarsest level
+    num_z: int = 2                          # coarsest z
+    out_channel: int = 20
+    use_semantic: bool = True
+    pred_ground: bool = False
+    num_encoder_layers: int = 2
+    norm_groups: int = 8
+    pc_range: Sequence[float] = (0.0, -25.6, -2.0, 51.2, 25.6, 4.4)
+
+    @nn.compact
+    def __call__(self, img_feats, spatial_shapes, lidar2img, img_size,
+                 prev_bev=None, train: bool = False):
+        """img_feats: [B, N_cam, sum(HW), C_in]; returns dict with
+        ``occ_preds`` (list coarse->fine, [B, X_i, Y_i, Z_i, C_occ])."""
+        b = img_feats.shape[0]
+        levels = []
+        h0, w0 = self.bev_shape
+        # level i plane: bev_shape * 2^i (i = 0 coarsest ... L-1 finest);
+        # the reference indexes the transpose (i = 0 largest, ref :520-524) —
+        # order here is chosen so the deblock fusion below reads naturally
+        for i in range(self.fpn_level):
+            scale = 2 ** i
+            h, w = h0 * scale, w0 * scale
+            feats = nn.Dense(self.embed_dim, name=f"transfer_conv{i}")(
+                img_feats
+            )
+            pos = LearnedPositionalEncoding(
+                self.embed_dim // 2, row_num_embed=h, col_num_embed=w,
+                name=f"positional_encoding{i}",
+            )(h, w)
+            bev = OccupancyEncoder(
+                embed_dim=self.embed_dim,
+                num_layers=self.num_encoder_layers,
+                bev_shape=(h, w),
+                num_z=self.num_z * scale,
+                pc_range=self.pc_range,
+                name=f"transformer{i}",
+            )(feats, spatial_shapes, lidar2img, img_size, prev_bev=prev_bev,
+              query_pos=pos)
+            z = self.num_z * scale
+            # channel-to-height lift (ref use_3d_conv reshape :628-633)
+            vol = nn.Dense(z * self.embed_dim, name=f"lift{i}")(bev)
+            levels.append(vol.reshape(b, h, w, z, self.embed_dim))
+
+        # coarse-to-fine deblock fusion (ref: bevocc_head.py:640-658)
+        outputs = [levels[0]]
+        result = levels[0]
+        for k in range(1, self.fpn_level):
+            result = ConvTransposeTorch(
+                features=self.embed_dim, kernel_size=2, ndim=3, stride=2,
+                use_bias=False, name=f"deblock{k}_deconv")(result)
+            result = GroupNorm(num_groups=self.norm_groups,
+                               name=f"deblock{k}_gn")(result)
+            result = nn.relu(result)
+            result = result + levels[k]
+            outputs.append(result)
+
+        c_occ = self.out_channel if self.use_semantic else 1
+        occ_preds = [
+            Conv3d(c_occ, 3, padding=1, name=f"occ{i}")(out)
+            for i, out in enumerate(outputs)
+        ]
+        res: Dict[str, Any] = {"occ_preds": occ_preds,
+                               "bev_embed": levels[-1]}
+        if self.pred_ground:
+            res["ground_preds"] = [
+                Conv3d(1, 3, padding=1, name=f"ground{i}")(out)
+                for i, out in enumerate(outputs)
+            ]
+        return res
+
+
+class BEVOcc(nn.Module):
+    """Full camera-to-occupancy detector (ref: bevocc.py:25-587).
+
+    ``BEVOcc_kitti`` (ref bevocc_kitti.py) is this graph with N_cam == 1
+    (the left stereo eye) — pass single-camera batches.
+    """
+
+    head: Dict[str, Any]
+    backbone: str = "efficientnet-b0"
+    neck_out: int = 64
+
+    @nn.compact
+    def __call__(self, imgs, lidar2img, train: bool = False):
+        """imgs: [B, N_cam, H, W, 3]; lidar2img: [B, N_cam, 3, 4]."""
+        b, n = imgs.shape[:2]
+        flat = imgs.reshape((b * n,) + imgs.shape[2:])
+        if self.backbone.startswith("efficientnet"):
+            from .efficientnet import CustomEfficientNet
+
+            feats = CustomEfficientNet(
+                arch=self.backbone.split("-")[1], out_indices=(5,),
+                name="img_backbone",
+            )(flat, train=train)[-1]
+        else:
+            raise ValueError(self.backbone)
+        feats = nn.Dense(self.neck_out, name="img_neck")(feats)
+        fh, fw = feats.shape[1:3]
+        img_feats = feats.reshape(b, n, fh * fw, self.neck_out)
+        spatial_shapes = ((fh, fw),)
+        img_size = (imgs.shape[2], imgs.shape[3])
+        return BEVOccupancyHead(
+            name="pts_bbox_head", **self.head
+        )(img_feats, spatial_shapes, lidar2img, img_size, train=train)
+
+
+# KITTI single-camera alias (ref: detectors/bevocc_kitti.py:25)
+BEVOcc_kitti = BEVOcc
+
+
+def mode_pool(gt: jnp.ndarray, ratio: int, num_classes: int,
+              ignore: int = 255) -> jnp.ndarray:
+    """Majority vote over ratio^3 blocks (ref bevocc_head.py:825-829
+    reshape + torch.mode), with the ignore label participating as its own
+    bucket so fully-ignored blocks stay ignored."""
+    if ratio == 1:
+        return gt
+    b, x, y, z = gt.shape
+    r = ratio
+    blocks = gt.reshape(b, x // r, r, y // r, r, z // r, r)
+    blocks = blocks.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+        b, x // r, y // r, z // r, r ** 3
+    )
+    capped = jnp.where(blocks == ignore, num_classes, blocks)
+    counts = jnp.sum(
+        jnp.arange(num_classes + 1)[None, None, None, None, None, :]
+        == capped[..., None],
+        axis=-2,
+    )
+    mode = jnp.argmax(counts, axis=-1)
+    return jnp.where(mode == num_classes, ignore, mode).astype(gt.dtype)
+
+
+def bevocc_loss(
+    occ_preds: List[jnp.ndarray],
+    gt_occ: jnp.ndarray,
+    use_semantic: bool = True,
+    num_classes: int = 20,
+    iou_loss: bool = False,
+    no_decay: bool = False,
+    ignore: int = 255,
+) -> Dict[str, jnp.ndarray]:
+    """Multi-scale occupancy supervision (ref: bevocc_head.py:705-1045).
+
+    occ_preds: list coarse->fine, [B, X_i, Y_i, Z_i, C]; gt_occ at the
+    finest scale [B, X, Y, Z] int labels.
+    """
+    n = len(occ_preds)
+    losses: Dict[str, jnp.ndarray] = {}
+    loss_iou = 0.0
+    for i, pred in enumerate(occ_preds):
+        up_ratio = 2 ** (n - 1 - i)
+        decay = 1.0 if no_decay else 0.5 ** (n - 1 - i)
+        gt = mode_pool(gt_occ, up_ratio, num_classes, ignore)
+        if use_semantic:
+            # weighted CE, class-0 weight 0.1, ignore 255 (ref :947-967)
+            logits = pred.astype(jnp.float32)
+            weights = jnp.ones((num_classes,), jnp.float32).at[0].set(0.1)
+            valid = (gt != ignore)
+            gt_safe = jnp.where(valid, gt, 0).astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, gt_safe[..., None], axis=-1
+            )[..., 0]
+            w = weights[gt_safe] * valid.astype(jnp.float32)
+            losses[f"loss_occ_{i}"] = (
+                jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0) * decay
+            )
+            if iou_loss:
+                prob = jax.nn.softmax(logits, axis=-1)
+                li = 0.0
+                for j in range(1, num_classes):
+                    gj = (gt_safe == j).astype(jnp.float32) * valid
+                    pj = prob[..., j] * valid
+                    inter = jnp.sum(pj * gj)
+                    li = li + 1.0 - (2 * inter + 1e-7) / (
+                        jnp.sum(pj) + jnp.sum(gj) + 1e-7
+                    )
+                loss_iou = loss_iou + li / (num_classes - 1)
+        else:
+            # binary geometry: classes >= 1 -> occupied, BCE pos_weight 10
+            # (ref :796-836)
+            logits = pred[..., 0].astype(jnp.float32)
+            occ = ((gt >= 1) & (gt != ignore)).astype(jnp.float32)
+            valid = (gt != ignore).astype(jnp.float32)
+            pos_w = 10.0
+            ce = (
+                pos_w * occ * jax.nn.softplus(-logits)
+                + (1.0 - occ) * jax.nn.softplus(logits)
+            )
+            losses[f"loss_occ_{i}"] = (
+                jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+                * decay
+            )
+            if iou_loss:
+                prob = jax.nn.sigmoid(logits) * valid
+                inter = jnp.sum(prob * occ)
+                loss_iou = loss_iou + 3.0 * (
+                    1.0 - (2 * inter + 1e-7)
+                    / (jnp.sum(prob) + jnp.sum(occ) + 1e-7)
+                )
+    if iou_loss:
+        losses["loss_iou"] = jnp.asarray(loss_iou, jnp.float32)
+    return losses

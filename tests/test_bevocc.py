@@ -1,0 +1,189 @@
+"""Tests for the BEVOcc subsystem (detector + multi-scale head + loss),
+the FPN3D/SpconvNeck3D alternate necks, and SharedOccHead."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stereoscene_tpu.models.bevocc import (
+    BEVOcc,
+    BEVOccupancyHead,
+    bevocc_loss,
+    mode_pool,
+)
+from stereoscene_tpu.models.necks3d import FPN3D, SpconvNeck3D
+from stereoscene_tpu.models.shared_occhead import SharedOccHead
+
+HEAD_CFG = dict(
+    embed_dim=32,
+    fpn_level=2,
+    bev_shape=(4, 4),
+    num_z=2,
+    out_channel=20,
+    num_encoder_layers=1,
+    norm_groups=4,
+    pc_range=(0.0, -4.0, -2.0, 8.0, 4.0, 2.0),
+)
+
+
+def _lidar2img(b, n):
+    # simple pinhole P @ [R|t] for a forward camera
+    p = np.zeros((3, 4), np.float32)
+    p[0, 0] = p[1, 1] = 20.0
+    p[0, 2] = 16.0
+    p[1, 2] = 8.0
+    p[2, 2] = 1.0
+    r = np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+    l2i = (p @ r)[None, None].repeat(b, 0).repeat(n, 1)
+    return jnp.asarray(l2i)
+
+
+@pytest.fixture(scope="module")
+def head_setup():
+    rng = np.random.RandomState(0)
+    b, n, hw, c = 2, 2, 24, 16
+    img_feats = jnp.asarray(rng.randn(b, n, hw, c).astype(np.float32))
+    head = BEVOccupancyHead(**HEAD_CFG)
+    variables = head.init(
+        jax.random.PRNGKey(0), img_feats, ((4, 6),), _lidar2img(b, n),
+        (32, 64),
+    )
+    return head, variables, img_feats
+
+
+def test_bevocc_head_shapes(head_setup):
+    head, variables, img_feats = head_setup
+    out = head.apply(variables, img_feats, ((4, 6),), _lidar2img(2, 2),
+                     (32, 64))
+    preds = out["occ_preds"]
+    assert len(preds) == 2
+    assert preds[0].shape == (2, 4, 4, 2, 20)   # coarse
+    assert preds[1].shape == (2, 8, 8, 4, 20)   # fine (2x deblock)
+    assert all(bool(jnp.all(jnp.isfinite(p))) for p in preds)
+
+
+def test_mode_pool_majority():
+    gt = np.zeros((1, 4, 4, 2), np.int32)
+    gt[0, :2, :2, :] = 5          # a uniform 2x2x2 block -> 5
+    gt[0, 2:, 2:, :] = 255        # fully ignored block stays 255
+    gt[0, :2, 2:, 0] = 7          # half 7 / half 0 block
+    pooled = np.asarray(mode_pool(jnp.asarray(gt), 2, num_classes=20))
+    assert pooled.shape == (1, 2, 2, 1)
+    assert pooled[0, 0, 0, 0] == 5
+    assert pooled[0, 1, 1, 0] == 255
+    assert pooled[0, 0, 1, 0] in (0, 7)
+
+
+def test_bevocc_loss_semantic_and_binary(head_setup):
+    head, variables, img_feats = head_setup
+    out = head.apply(variables, img_feats, ((4, 6),), _lidar2img(2, 2),
+                     (32, 64))
+    rng = np.random.RandomState(1)
+    gt = jnp.asarray(rng.randint(0, 20, (2, 8, 8, 4)).astype(np.int32))
+    losses = bevocc_loss(out["occ_preds"], gt, use_semantic=True,
+                         iou_loss=True)
+    assert set(losses) == {"loss_occ_0", "loss_occ_1", "loss_iou"}
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+    binary_preds = [p[..., :1] for p in out["occ_preds"]]
+    lb = bevocc_loss(binary_preds, gt, use_semantic=False)
+    assert all(np.isfinite(float(v)) for v in lb.values())
+
+
+def test_bevocc_loss_decreases_when_training():
+    """End-to-end trainability of the head on a fixed tiny batch."""
+    import optax
+
+    rng = np.random.RandomState(2)
+    b, n, hw, c = 1, 1, 24, 16
+    img_feats = jnp.asarray(rng.randn(b, n, hw, c).astype(np.float32))
+    gt = jnp.asarray(rng.randint(0, 20, (1, 8, 8, 4)).astype(np.int32))
+    head = BEVOccupancyHead(**HEAD_CFG)
+    l2i = _lidar2img(b, n)
+    params = head.init(jax.random.PRNGKey(0), img_feats, ((4, 6),), l2i,
+                       (32, 64))
+
+    def loss_fn(p):
+        out = head.apply(p, img_feats, ((4, 6),), l2i, (32, 64))
+        return sum(bevocc_loss(out["occ_preds"], gt).values())
+
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    l0 = None
+    step = jax.jit(
+        lambda p, s: (jax.value_and_grad(loss_fn)(p), s)
+    )
+    for i in range(8):
+        (loss, grads), _ = step(params, state)
+        updates, state = opt.update(grads, state)
+        params = optax.apply_updates(params, updates)
+        if l0 is None:
+            l0 = float(loss)
+    assert float(loss) < l0
+
+
+def test_bevocc_detector_end_to_end():
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randn(1, 2, 32, 64, 3).astype(np.float32))
+    model = BEVOcc(head=HEAD_CFG, backbone="efficientnet-b0", neck_out=16)
+    variables = model.init(jax.random.PRNGKey(0), imgs, _lidar2img(1, 2))
+    out = model.apply(variables, imgs, _lidar2img(1, 2))
+    assert out["occ_preds"][-1].shape == (1, 8, 8, 4, 20)
+
+
+def test_fpn3d_and_spconv_neck():
+    rng = np.random.RandomState(4)
+    feats = [
+        jnp.asarray(rng.randn(2, 8, 8, 4, 8).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 4, 4, 2, 16).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 2, 2, 1, 32).astype(np.float32)),
+    ]
+    fpn = FPN3D(in_channels=(8, 16, 32), out_channels=16, num_upsample=1,
+                norm_groups=4)
+    variables = fpn.init(jax.random.PRNGKey(0), feats)
+    outs = fpn.apply(variables, feats)
+    assert len(outs) == 4  # one extra upsample level prepended
+    assert outs[0].shape == (2, 16, 16, 8, 16)
+    assert outs[1].shape == (2, 8, 8, 4, 16)
+
+    neck = SpconvNeck3D(in_channels=(8, 16, 32), out_channels=16,
+                        norm_groups=4)
+    variables = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(variables, feats)
+    assert [o.shape for o in outs] == [
+        (2, 8, 8, 4, 16), (2, 4, 4, 2, 16), (2, 2, 2, 1, 16)]
+
+
+def test_shared_occhead_voxels_and_points():
+    rng = np.random.RandomState(5)
+    grid = jnp.asarray(rng.randn(2, 8, 8, 4, 16).astype(np.float32))
+    pts = jnp.asarray(
+        np.stack([
+            rng.uniform(0, 8, (2, 10)),
+            rng.uniform(-4, 4, (2, 10)),
+            rng.uniform(-2, 2, (2, 10)),
+        ], axis=-1).astype(np.float32)
+    )
+    head = SharedOccHead(
+        in_channels=16, out_channel=20, hidden_dims=32,
+        point_cloud_range=(0.0, -4.0, -2.0, 8.0, 4.0, 2.0),
+    )
+    variables = head.init(jax.random.PRNGKey(0), [grid], points=pts)
+    out = head.apply(variables, [grid], points=pts)
+    assert out["output_voxels"][0].shape == (2, 8, 8, 4, 20)
+    assert out["output_points"].shape == (2, 10, 20)
+    # shared MLP: decoding a voxel cell's feature as a "point" must give
+    # exactly the voxel logits (the head's defining property, ref :58-64)
+    cell_feat = grid[:, 3, 2, 1]
+    from stereoscene_tpu.models.shared_occhead import SharedMlp
+    mlp_out = SharedMlp(32, 20).apply(
+        {"params": variables["params"]["shared_mlp"]}, cell_feat
+    )
+    np.testing.assert_allclose(
+        np.asarray(mlp_out), np.asarray(out["output_voxels"][0][:, 3, 2, 1]),
+        rtol=1e-5, atol=1e-5,
+    )
