@@ -315,3 +315,28 @@ def test_waymo_converter_gated():
     if not _HAVE_WAYMO:
         with pytest.raises(ImportError, match="waymo_open_dataset"):
             Waymo2KITTI("/tmp/in", "/tmp/out")
+
+
+def test_create_groundtruth_database(kitti_tree):
+    from tools.data_converter.create_gt_database import (
+        create_groundtruth_database,
+    )
+
+    written = create_kitti_info_file(kitti_tree, pkl_prefix="kitti")
+    db = create_groundtruth_database(
+        kitti_tree, written["train"], info_prefix="kitti"
+    )
+    assert "Car" in db and len(db["Car"]) == 2  # one per train frame
+    entry = db["Car"][0]
+    assert entry["num_points_in_gt"] > 30
+    pts = np.fromfile(
+        os.path.join(kitti_tree, entry["path"]), np.float32
+    ).reshape(-1, 4)
+    assert len(pts) == entry["num_points_in_gt"]
+    # points are in the box frame: centered near origin in x/y, z in [0, h]
+    assert np.abs(pts[:, :2].mean(0)).max() < 1.0
+    assert pts[:, 2].min() > -1.0 and pts[:, 2].max() < 3.0
+    # db info pickle exists
+    assert os.path.exists(
+        os.path.join(kitti_tree, "kitti_dbinfos_train.pkl")
+    )
