@@ -180,6 +180,32 @@ class BEVOcc(nn.Module):
 BEVOcc_kitti = BEVOcc
 
 
+def bevocc_from_config(cfg: Dict[str, Any]) -> BEVOcc:
+    """Build a BEVOcc detector from a reference-style config dict
+    (configs/bevocc_kitti.py schema; head keys mirror the reference's
+    BEVOccHead arguments, bevocc_head.py:51-105)."""
+    model = cfg["model"]
+    h = model["pts_bbox_head"]
+    head = dict(
+        embed_dim=h.get("embed_dims", 128),
+        fpn_level=h.get("fpn_level", 2),
+        bev_shape=(h["bev_h"], h["bev_w"]),
+        num_z=h.get("bev_z", 4),
+        out_channel=h["out_channel"],
+        use_semantic=h.get("use_semantic", True),
+        pred_ground=h.get("pred_ground", False),
+        num_encoder_layers=h.get("encoder_layers", 2),
+        norm_groups=h.get("norm_groups", 8),
+        pc_range=tuple(h["point_cloud_range"]),
+    )
+    bb = model["img_backbone"]
+    return BEVOcc(
+        head=head,
+        backbone=f"efficientnet-{bb['arch']}",
+        neck_out=model.get("img_neck_out_channels", 64),
+    )
+
+
 def mode_pool(gt: jnp.ndarray, ratio: int, num_classes: int,
               ignore: int = 255) -> jnp.ndarray:
     """Majority vote over ratio^3 blocks (ref bevocc_head.py:825-829

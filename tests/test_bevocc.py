@@ -187,3 +187,14 @@ def test_shared_occhead_voxels_and_points():
         np.asarray(mlp_out), np.asarray(out["output_voxels"][0][:, 3, 2, 1]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_bevocc_from_config():
+    from stereoscene_tpu.config import Config
+    from stereoscene_tpu.models.bevocc import bevocc_from_config
+
+    cfg = Config.fromfile("stereoscene_tpu/configs/bevocc_kitti.py")
+    model = bevocc_from_config(cfg)
+    assert model.head["bev_shape"] == (32, 32)
+    assert model.head["out_channel"] == 20
+    assert model.backbone == "efficientnet-b0"
