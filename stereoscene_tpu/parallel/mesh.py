@@ -26,6 +26,7 @@ def make_mesh(
     n_devices: Optional[int] = None,
     axes: Sequence[str] = ("data",),
     devices=None,
+    space: Optional[int] = None,
 ) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
@@ -34,13 +35,15 @@ def make_mesh(
     if len(axes) == 1:
         shape = (n,)
     elif len(axes) == 2:
-        # favor the data axis; space axis gets the largest power-of-two
-        # divisor up to 4
-        space = 1
-        for cand in (4, 2, 1):
-            if n % cand == 0 and n // cand >= 1:
-                space = cand
-                break
+        if space is None:
+            # favor the data axis; space axis gets the largest power-of-two
+            # divisor up to 4
+            space = 1
+            for cand in (4, 2, 1):
+                if n % cand == 0 and n // cand >= 1:
+                    space = cand
+                    break
+        assert n % space == 0, (n, space)
         shape = (n // space, space)
     else:
         raise ValueError(f"unsupported axes {axes}")

@@ -111,3 +111,12 @@ def test_spatial_sharding_gradient_parity():
         assert max_err < 2e-2, (jax.tree_util.keystr(k), max_err)
         checked += 1
     assert checked > 50  # the whole tree was compared
+
+
+def test_make_mesh_explicit_space():
+    mesh = make_mesh(8, axes=("data", "space"), space=2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 4, "space": 2}
+    mesh = make_mesh(8, axes=("data", "space"), space=4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 2, "space": 4}

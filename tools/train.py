@@ -36,6 +36,10 @@ def parse_args():
                    help="write an XLA profiler trace for steps 10-15")
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help="shard the voxel grid over a 'space' mesh axis with "
+                        "this many devices (SP training for high-res "
+                        "configs; total devices must be divisible by it)")
     p.add_argument("--coordinator", default=None,
                    help="host:port for jax.distributed.initialize")
     p.add_argument("--num-processes", type=int, default=None)
@@ -82,7 +86,26 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
 
     det_cfg = DetectorConfig.from_config(cfg)
-    model = BEVDepthOccupancy(cfg=det_cfg)
+    if args.spatial_shards > 1:
+        # ('data', 'space') mesh: the voxel grid is sharded spatially and
+        # GSPMD partitions the 3D encoder's halo exchanges (and their
+        # gradient transposes — verified by
+        # tests/test_spatial_consistency.py::test_spatial_sharding_gradient_parity)
+        from stereoscene_tpu.parallel.spatial import shard_voxels
+
+        n_dev = jax.device_count()
+        if n_dev % args.spatial_shards:
+            raise SystemExit(
+                f"--spatial-shards {args.spatial_shards} does not divide "
+                f"{n_dev} devices"
+            )
+        mesh = make_mesh(axes=("data", "space"), space=args.spatial_shards)
+        model = BEVDepthOccupancy(
+            cfg=det_cfg, voxel_constraint=lambda v: shard_voxels(v, mesh)
+        )
+    else:
+        mesh = make_mesh()
+        model = BEVDepthOccupancy(cfg=det_cfg)
 
     data_cfg = cfg["data"]
     dcfg = cfg["data_config"]
@@ -161,7 +184,8 @@ def main():
         dbound=det_cfg.dbound,
     )
     train_step = make_train_step(model, loss_cfg, bf16=args.bf16)
-    mesh = make_mesh()
+    # mesh was built alongside the model above (data-only, or
+    # ('data','space') when --spatial-shards > 1)
 
     # eval closure (every `evaluation.interval` epochs)
     def eval_fn(state):
