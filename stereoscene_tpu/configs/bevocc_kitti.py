@@ -17,9 +17,11 @@ model = dict(
     img_neck_out_channels=64,
     pts_bbox_head=dict(
         type='BEVOccHead',
-        bev_h=32,
-        bev_w=32,
-        bev_z=4,
+        # coarsest level; finest = bev * 2^(fpn_level-1) = 128x128x16,
+        # matching occ_size (bevocc_loss wants gt at the finest scale)
+        bev_h=64,
+        bev_w=64,
+        bev_z=8,
         fpn_level=2,
         embed_dims=128,
         out_channel=20,

@@ -147,6 +147,10 @@ class BEVDepthOccupancy(nn.Module):
             out_indices=cfg.backbone_out_indices,
             drop_path_rate=cfg.backbone_drop_path_rate,
             with_cp=cfg.backbone_with_cp,
+            # the GSPMD-safe depthwise VJP is needed exactly when the voxel
+            # grid is sharded over a spatial mesh axis (partial replication
+            # upstream); single-axis DP keeps XLA's standard correct path
+            safe_depthwise_vjp=self.voxel_constraint is not None,
         )
         self.img_neck = SECONDFPN(
             in_channels=cfg.neck_in_channels,

@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import os
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -198,23 +198,27 @@ def _dw_raw(x, kernel, stride, padding):
     )
 
 
-def _use_safe_depthwise_vjp() -> bool:
+def _use_safe_depthwise_vjp(requested: "bool | None") -> bool:
     """Whether to route depthwise convs through the GSPMD-safe custom VJP.
 
     The XLA grouped-conv kernel-gradient bug this guards against only
-    manifests on multi-axis meshes with partially replicated operands —
-    single-device gradients are correct through the standard path. The
-    custom backward additionally triggers a TPU device fault when embedded
-    in the full detector backward on the current single-chip libtpu
-    (bisected: encoder-only grad is fine, full graph faults), so the safe
-    path is enabled exactly when more than one device is visible, i.e. when
-    it is needed. Override with STEREOSCENE_DW_SAFE_VJP=0/1.
+    manifests on *multi-axis* meshes with partially replicated operands —
+    single-device and single-axis data-parallel gradients are correct
+    through the standard path. The custom backward additionally triggers a
+    TPU device fault when embedded in the full detector backward on the
+    current single-chip libtpu (bisected: encoder-only grad is fine, full
+    graph faults), so callers that know a spatial mesh axis is active pass
+    ``requested=True`` (BEVDepthOccupancy does when a voxel_constraint is
+    set); ``requested=None`` falls back to the >1-devices heuristic.
+    STEREOSCENE_DW_SAFE_VJP=0/1 overrides everything.
     """
     mode = os.environ.get("STEREOSCENE_DW_SAFE_VJP", "auto")
     if mode == "1":
         return True
     if mode == "0":
         return False
+    if requested is not None:
+        return requested
     return jax.device_count() > 1
 
 
@@ -276,6 +280,7 @@ class DepthwiseConv2dSame(nn.Module):
 
     kernel_size: int
     stride: int = 1
+    safe_vjp: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
@@ -287,7 +292,7 @@ class DepthwiseConv2dSame(nn.Module):
         x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=None)
         ph = _same_pad(x.shape[1], k, self.stride)
         pw = _same_pad(x.shape[2], k, self.stride)
-        if _use_safe_depthwise_vjp():
+        if _use_safe_depthwise_vjp(self.safe_vjp):
             return depthwise_conv2d(x, kernel, self.stride, (ph, pw))
         return _dw_raw(x, kernel, self.stride, (ph, pw))
 
@@ -298,6 +303,7 @@ class ConvBNAct(nn.Module):
     stride: int = 1
     groups: int = 1
     act: bool = True
+    safe_vjp: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -309,7 +315,8 @@ class ConvBNAct(nn.Module):
                 "only full depthwise grouping is used in this backbone"
             )
             x = DepthwiseConv2dSame(
-                kernel_size=self.kernel, stride=self.stride, name="conv"
+                kernel_size=self.kernel, stride=self.stride,
+                safe_vjp=self.safe_vjp, name="conv"
             )(x)
         else:
             x = nn.Conv(
@@ -335,6 +342,7 @@ class InvertedResidual(nn.Module):
     expand_ratio: int
     se_ratio: int
     drop_path_rate: float = 0.0
+    safe_vjp: "bool | None" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -346,7 +354,8 @@ class InvertedResidual(nn.Module):
         if mid != in_channels:
             out = ConvBNAct(mid, 1, name="expand_conv")(out, train=train)
         out = ConvBNAct(
-            mid, self.kernel, stride=self.stride, groups=mid, name="depthwise_conv"
+            mid, self.kernel, stride=self.stride, groups=mid,
+            safe_vjp=self.safe_vjp, name="depthwise_conv"
         )(out, train=train)
         if self.se_ratio > 0:
             squeeze = int(mid // (self.expand_ratio * self.se_ratio))
@@ -414,6 +423,10 @@ class CustomEfficientNet(nn.Module):
     drop_path_rate: float = 0.0
     with_cp: bool = False
     frozen_stages: int = 0
+    # GSPMD-safe depthwise VJP request (see _use_safe_depthwise_vjp):
+    # None = auto heuristic; the detector passes True when a spatial mesh
+    # axis is active and False otherwise
+    safe_depthwise_vjp: "bool | None" = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -439,7 +452,8 @@ class CustomEfficientNet(nn.Module):
             for j, blk in enumerate(stage):
                 if len(blk) == 5:
                     k, c, se, s, e = blk
-                    block_cls, extra = InvertedResidual, {}
+                    block_cls = InvertedResidual
+                    extra = {"safe_vjp": self.safe_depthwise_vjp}
                 else:  # EdgeTPU 7-tuple
                     k, c, se, s, e, _, resid = blk
                     block_cls, extra = EdgeResidual, {"with_residual": resid}

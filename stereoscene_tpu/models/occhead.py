@@ -64,6 +64,30 @@ def trilinear_point_sample(vol: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def bilinear_image_sample(feat: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-sample [H, W, C] at normalized [-1, 1] uv points [P, 2]
+    (x over W, y over H; edge-clipped). Shared by OccHead and
+    SharedOccHead's image-feature injection."""
+    h, w, _ = feat.shape
+    xy = (uv.astype(jnp.float32) + 1.0) / 2.0
+    px = xy[:, 0] * (w - 1)
+    py = xy[:, 1] * (h - 1)
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
+    fx = px - x0
+    fy = py - y0
+    v00 = feat[y0, x0]
+    v01 = feat[y0, x0 + 1]
+    v10 = feat[y0 + 1, x0]
+    v11 = feat[y0 + 1, x0 + 1]
+    return (
+        v00 * ((1 - fx) * (1 - fy))[:, None]
+        + v01 * (fx * (1 - fy))[:, None]
+        + v10 * ((1 - fx) * fy)[:, None]
+        + v11 * (fx * fy)[:, None]
+    )
+
+
 class OccHead(nn.Module):
     in_channels: Sequence[int]
     out_channel: int
@@ -114,27 +138,9 @@ class OccHead(nn.Module):
 
         if self.sampling_img_feats and img_feats is not None:
             # points_uv: [B, P, 2] normalized image coords; bilinear sample
-            def sample_img(feat, uv):
-                h, w, c = feat.shape
-                xy = (uv.astype(jnp.float32) + 1.0) / 2.0
-                px = xy[:, 0] * (w - 1)
-                py = xy[:, 1] * (h - 1)
-                x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 2)
-                y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 2)
-                fx = px - x0
-                fy = py - y0
-                v00 = feat[y0, x0]
-                v01 = feat[y0, x0 + 1]
-                v10 = feat[y0 + 1, x0]
-                v11 = feat[y0 + 1, x0 + 1]
-                return (
-                    v00 * ((1 - fx) * (1 - fy))[:, None]
-                    + v01 * (fx * (1 - fy))[:, None]
-                    + v10 * ((1 - fx) * fy)[:, None]
-                    + v11 * (fx * fy)[:, None]
-                )
-
-            img_sampled = jax.vmap(sample_img)(img_feats, points_uv)
+            img_sampled = jax.vmap(bilinear_image_sample)(
+                img_feats, points_uv
+            )
             img_sampled = nn.Dense(
                 self.in_channels[0], name="img_feat_reduce"
             )(img_sampled)

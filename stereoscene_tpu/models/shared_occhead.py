@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import GroupNorm  # noqa: F401  (kept for config parity)
-from .occhead import trilinear_point_sample
+from .occhead import bilinear_image_sample, trilinear_point_sample
 
 
 class SharedMlp(nn.Module):
@@ -70,32 +69,15 @@ class SharedOccHead(nn.Module):
             norm = norm * 2.0 - 1.0  # [-1, 1]^3, grid_sample convention
             point_feats = jax.vmap(trilinear_point_sample)(grid, norm)
             if self.sampling_img_feats and img_feats is not None:
-                reduced = nn.Dense(
-                    self.in_channels, name="img_feat_reduce"
-                )(img_feats)  # [B, fH, fW, C] -> C_in
-                b, fh, fw, _ = reduced.shape
-
-                def sample_uv(feat, uv):
-                    # uv normalized [-1, 1] over (x=W, y=H); bilinear
-                    xy = (uv.astype(jnp.float32) + 1.0) / 2.0
-                    px = xy[:, 0] * (fw - 1)
-                    py = xy[:, 1] * (fh - 1)
-                    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, fw - 2)
-                    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, fh - 2)
-                    fx = px - x0
-                    fy = py - y0
-                    v00 = feat[y0, x0]
-                    v01 = feat[y0, x0 + 1]
-                    v10 = feat[y0 + 1, x0]
-                    v11 = feat[y0 + 1, x0 + 1]
-                    return (v00 * ((1 - fx) * (1 - fy))[:, None]
-                            + v01 * (fx * (1 - fy))[:, None]
-                            + v10 * ((1 - fx) * fy)[:, None]
-                            + v11 * (fx * fy)[:, None])
-
-                point_feats = point_feats + jax.vmap(sample_uv)(
-                    reduced, points_uv
+                # sample first, reduce the [B, P, C_img] result: bilinear
+                # interpolation and a pointwise linear layer commute, and
+                # P << fH*fW (same output as reducing the whole map)
+                sampled = jax.vmap(bilinear_image_sample)(
+                    img_feats, points_uv
                 )
+                point_feats = point_feats + nn.Dense(
+                    self.in_channels, name="img_feat_reduce"
+                )(sampled)
             output_points = mlp(point_feats)
 
         return {

@@ -195,6 +195,12 @@ def test_bevocc_from_config():
 
     cfg = Config.fromfile("stereoscene_tpu/configs/bevocc_kitti.py")
     model = bevocc_from_config(cfg)
-    assert model.head["bev_shape"] == (32, 32)
+    assert model.head["bev_shape"] == (64, 64)
+    # finest prediction scale must equal the declared occ_size
+    l = model.head["fpn_level"]
+    finest = (model.head["bev_shape"][0] * 2 ** (l - 1),
+              model.head["bev_shape"][1] * 2 ** (l - 1),
+              model.head["num_z"] * 2 ** (l - 1))
+    assert list(finest) == cfg["occ_size"]
     assert model.head["out_channel"] == 20
     assert model.backbone == "efficientnet-b0"

@@ -60,8 +60,11 @@ def test_render_and_video(tmp_path):
         grid = rng.randint(0, 20, (16, 16, 4)).astype(np.int32)
         mask = compute_fov_mask(grid.shape, 1.0, [0, -8.0, -2.0], T,
                                 (1220, 370), f=500.0)
-        frustum = camera_frustum_mesh(T, (1220, 370), f=500.0,
-                                      vox_origin=[0, -8.0, -2.0])
+        frustum = camera_frustum_mesh(T, (1220, 370), f=500.0)
+        # frustum verts and voxel centers share the absolute velo frame:
+        # the apex sits at the camera center (velo origin for this T),
+        # inside the metric extent of the grid
+        assert np.allclose(frustum[0][0], 0.0)
         out = str(tmp_path / f"frame{i}.png")
         render_voxels(grid, out, voxel_size=1.0, vox_origin=[0, -8.0, -2.0],
                       fov_mask=mask, frustum=frustum)

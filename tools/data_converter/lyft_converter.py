@@ -139,17 +139,20 @@ def fill_trainval_infos(
                 [a["translation"] for a in anns], float
             ).reshape(-1, 3)
             dims = np.array([a["size"] for a in anns], float).reshape(-1, 3)
+            # global -> lidar frame; yaw must come from the FULL rotation
+            # composition R_lidar2global^T @ R_box (subtracting planar yaws
+            # is only correct for pure-z ego rotations — pitch/roll on
+            # sloped roads would corrupt it)
+            r_g2l = np.linalg.inv(lidar2global)[:3, :3]
             yaws = np.array(
-                [_quat_yaw(a["rotation"]) for a in anns], float
+                [_mat_yaw(r_g2l @ quaternion_to_matrix(a["rotation"]))
+                 for a in anns], float
             ).reshape(-1, 1)
-            # global -> lidar frame
             if len(locs):
                 homo = np.concatenate(
                     [locs, np.ones((len(locs), 1))], axis=1
                 )
                 locs = (homo @ np.linalg.inv(lidar2global).T)[:, :3]
-                ego_yaw = _mat_yaw(lidar2global[:3, :3])
-                yaws = yaws - ego_yaw
             # SECOND yaw convention (ref :196 ``-rots - pi/2``)
             gt_boxes = np.concatenate(
                 [locs, dims, -yaws - np.pi / 2.0], axis=1
@@ -168,11 +171,6 @@ def fill_trainval_infos(
         else:
             val_infos.append(info)
     return train_infos, val_infos
-
-
-def _quat_yaw(q) -> float:
-    m = quaternion_to_matrix(q)
-    return float(np.arctan2(m[1, 0], m[0, 0]))
 
 
 def _mat_yaw(m: np.ndarray) -> float:

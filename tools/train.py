@@ -134,8 +134,14 @@ def main():
             "— run tools/preprocess_kitti.py first"
         )
 
+    # default batch: samples_per_gpu per *data-parallel* device — the
+    # 'space' axis replicates the batch, so dividing by spatial_shards keeps
+    # per-device activation memory constant (SP exists to buy memory)
+    local_data_parallel = max(
+        1, jax.local_device_count() // args.spatial_shards
+    )
     batch_size = args.batch_size or (
-        data_cfg["samples_per_gpu"] * jax.local_device_count()
+        data_cfg["samples_per_gpu"] * local_data_parallel
     )
     proc_frames = train_index.shard(jax.process_index(), jax.process_count())
     train_loader = BatchLoader(

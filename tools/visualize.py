@@ -70,12 +70,15 @@ def camera_frustum_mesh(
     img_size: Tuple[int, int],
     f: float,
     d: float = 7.0,
-    vox_origin=np.zeros(3),
 ) -> Tuple[np.ndarray, List[Tuple[int, int, int]]]:
-    """Wireframe camera mesh in the voxel frame (ref :55-78).
+    """Wireframe camera mesh (ref :55-78): apex at the camera center and
+    the four image-plane corners at depth ``d`` meters.
 
-    Returns (vertices [5, 3], triangles): apex at the camera center and the
-    four image-plane corners at depth ``d`` meters.
+    Vertices are returned in the *absolute velodyne frame* — the same frame
+    ``render_voxels`` plots voxel centers in ((occ + 0.5) * voxel_size +
+    vox_origin) — so the overlay aligns with the voxels. (The reference
+    subtracts its voxel origin because mayavi plots grid-index coordinates;
+    here both live in metric velo space.)
     """
     x = d * img_size[0] / (2.0 * f)
     y = d * img_size[1] / (2.0 * f)
@@ -88,7 +91,6 @@ def camera_frustum_mesh(
     ])
     tri_points = np.hstack([tri_points, np.ones((5, 1))])
     verts = (np.linalg.inv(T_velo_2_cam) @ tri_points.T).T[:, :3]
-    verts = verts - np.asarray(vox_origin)
     triangles = [(0, 1, 2), (0, 1, 4), (0, 3, 4), (0, 2, 3)]
     return verts, triangles
 
@@ -184,9 +186,8 @@ def export_video(frame_paths: List[str], out_path: str, fps: int = 10):
     )
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("pred", help=".npy voxel grid or directory of them")
+def add_render_args(p: argparse.ArgumentParser):
+    """Shared rendering flags (also used by misc/visualize_results.py)."""
     p.add_argument("--out", default="vis")
     p.add_argument("--max-frames", type=int, default=50)
     p.add_argument("--voxel-size", type=float, default=0.2)
@@ -199,30 +200,24 @@ def main():
     p.add_argument("--focal", type=float, default=707.0912)
     p.add_argument("--video", default=None,
                    help="write a GIF video of all rendered frames")
-    args = p.parse_args()
 
-    paths = (
-        sorted(glob.glob(os.path.join(args.pred, "*.npy")))
-        if os.path.isdir(args.pred)
-        else [args.pred]
-    )[: args.max_frames]
+
+def render_frames(items, args) -> List[str]:
+    """Render (name, grid) items with the args from add_render_args;
+    returns the written PNG paths (and writes the GIF when --video)."""
     os.makedirs(args.out, exist_ok=True)
-
     frustum = fov = None
     written = []
-    for path in paths:
-        grid = np.load(path)
+    for name, grid in items:
         if args.t_velo2cam and frustum is None:
             t = np.load(args.t_velo2cam)
             frustum = camera_frustum_mesh(
-                t, tuple(args.img_size), args.focal,
-                vox_origin=args.vox_origin,
+                t, tuple(args.img_size), args.focal
             )
             fov = compute_fov_mask(
                 grid.shape, args.voxel_size, args.vox_origin, t,
                 tuple(args.img_size), args.focal,
             )
-        name = os.path.splitext(os.path.basename(path))[0]
         out_path = os.path.join(args.out, name + ".png")
         render_voxels(
             grid, out_path, voxel_size=args.voxel_size,
@@ -230,10 +225,28 @@ def main():
         )
         written.append(out_path)
         print("wrote", out_path)
-
     if args.video and written:
         export_video(written, args.video)
         print("wrote", args.video)
+    return written
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("pred", help=".npy voxel grid or directory of them")
+    add_render_args(p)
+    args = p.parse_args()
+
+    paths = (
+        sorted(glob.glob(os.path.join(args.pred, "*.npy")))
+        if os.path.isdir(args.pred)
+        else [args.pred]
+    )[: args.max_frames]
+    render_frames(
+        ((os.path.splitext(os.path.basename(pth))[0], np.load(pth))
+         for pth in paths),
+        args,
+    )
 
 
 if __name__ == "__main__":
