@@ -48,18 +48,20 @@ _BASE_BLOCKS = [
 _STEM = (3, 32, 2)  # kernel, channels, stride
 _HEAD = (1, 1280, 1)
 
-# EfficientNet-EdgeTPU ('e') table (ref: efficientnet.py:329-351
-# layer_settings['e']): se_ratio 0 (no SE), EdgeResidual blocks.
+# EfficientNet-EdgeTPU ('e') table (ref: efficientnet.py:328-347
+# layer_settings['e']): se_ratio 0 (no SE). The 6th element is the
+# reference's block_type: 1 = EdgeResidual (3x3 24/32/48 stages only),
+# 0 = InvertedResidual (the 5x5 96/144/192 stages).
 _BASE_BLOCKS_E = [
-    [(3, 24, 0, 1, 3)],
-    [(3, 32, 0, 2, 8), (3, 32, 0, 1, 8)],
-    [(3, 48, 0, 2, 8), (3, 48, 0, 1, 8), (3, 48, 0, 1, 8),
-     (3, 48, 0, 1, 8)],
-    [(5, 96, 0, 2, 8), (5, 96, 0, 1, 8), (5, 96, 0, 1, 8),
-     (5, 96, 0, 1, 8), (5, 96, 0, 1, 8),
-     (5, 144, 0, 1, 8), (5, 144, 0, 1, 8), (5, 144, 0, 1, 8),
-     (5, 144, 0, 1, 8)],
-    [(5, 192, 0, 2, 8), (5, 192, 0, 1, 8)],
+    [(3, 24, 0, 1, 3, 1)],
+    [(3, 32, 0, 2, 8, 1), (3, 32, 0, 1, 8, 1)],
+    [(3, 48, 0, 2, 8, 1), (3, 48, 0, 1, 8, 1), (3, 48, 0, 1, 8, 1),
+     (3, 48, 0, 1, 8, 1)],
+    [(5, 96, 0, 2, 8, 0), (5, 96, 0, 1, 8, 0), (5, 96, 0, 1, 8, 0),
+     (5, 96, 0, 1, 8, 0), (5, 96, 0, 1, 8, 0),
+     (5, 144, 0, 1, 8, 0), (5, 144, 0, 1, 8, 0), (5, 144, 0, 1, 8, 0),
+     (5, 144, 0, 1, 8, 0)],
+    [(5, 192, 0, 2, 8, 0), (5, 192, 0, 1, 8, 0)],
 ]
 
 # (width_mult, depth_mult) per arch. ref: efficientnet.py:354-367
@@ -99,10 +101,12 @@ def scaled_stage_settings(arch: str):
 
     Returns (stem_channels, stages, head_channels) where stages is a list of
     lists of (kernel, out_ch, se_ratio, stride, expand) for the 'b' family,
-    or (kernel, out_ch, se_ratio, stride, expand, 'edge', with_residual)
-    7-tuples for the EdgeTPU 'e' family (es/em/el), whose depth-scaled
-    first-stage copies switch to expand 4 without residual
-    (ref: efficientnet.py:455-470 block_type==1 handling).
+    or (kernel, out_ch, se_ratio, stride, expand, kind, with_residual)
+    7-tuples for the EdgeTPU 'e' family (es/em/el), where kind is 'edge'
+    (block_type 1: the 3x3 24/32/48 stages) or 'mb' (block_type 0: the 5x5
+    96/144/192 stages build InvertedResidual, ref: efficientnet.py:328-347,
+    473-490). Depth-scaled copies of the expand-3 edge block switch to
+    expand 4 without residual (ref: efficientnet.py:474-478).
     """
     w, d = ARCH_SETTINGS[arch]
     is_edge = arch[0] == "e"
@@ -111,12 +115,14 @@ def scaled_stage_settings(arch: str):
     segments = []  # list of lists, split by out_channels
     for group in table:
         current = []
-        for (k, c, se, s, e) in group:
+        for blk in group:
+            k, c, se, s, e = blk[:5]
+            bt = blk[5] if len(blk) > 5 else 0
             c = make_divisible(c * w, 8)
             if current and current[-1][1] != c:
                 segments.append(current)
                 current = []
-            current.append((k, c, se, s, e))
+            current.append((k, c, se, s, e, bt))
         segments.append(current)
 
     # scale depth per segment
@@ -137,16 +143,20 @@ def scaled_stage_settings(arch: str):
             stages.append(list(seg))
 
     if is_edge:
-        # EdgeResidual 7-tuples; depth-scaled extra copies of the expand-3
-        # first block become expand-4 non-residual (ref :455-470)
+        # 7-tuples carrying the block kind; depth-scaled extra copies of the
+        # expand-3 edge block become expand-4 non-residual (ref :474-478)
         stages = [
             [
-                (k, c, se, s, 4 if (j > 0 and e == 3) else e, "edge",
-                 not (j > 0 and e == 3))
-                for j, (k, c, se, s, e) in enumerate(stage)
+                (k, c, se, s,
+                 4 if (bt == 1 and j > 0 and e == 3) else e,
+                 "edge" if bt == 1 else "mb",
+                 not (bt == 1 and j > 0 and e == 3))
+                for j, (k, c, se, s, e, bt) in enumerate(stage)
             ]
             for stage in stages
         ]
+    else:
+        stages = [[blk[:5] for blk in stage] for stage in stages]
 
     stem_channels = make_divisible(_STEM[1] * w, 8)
     head_channels = int(_HEAD[1] * w)
@@ -454,9 +464,14 @@ class CustomEfficientNet(nn.Module):
                     k, c, se, s, e = blk
                     block_cls = InvertedResidual
                     extra = {"safe_vjp": self.safe_depthwise_vjp}
-                else:  # EdgeTPU 7-tuple
-                    k, c, se, s, e, _, resid = blk
-                    block_cls, extra = EdgeResidual, {"with_residual": resid}
+                else:  # EdgeTPU-family 7-tuple: edge OR mb per block_type
+                    k, c, se, s, e, kind, resid = blk
+                    if kind == "edge":
+                        block_cls = EdgeResidual
+                        extra = {"with_residual": resid}
+                    else:
+                        block_cls = InvertedResidual
+                        extra = {"safe_vjp": self.safe_depthwise_vjp}
                 if self.with_cp:
                     block_cls = nn.remat(block_cls, static_argnums=(2,))
                 x = block_cls(

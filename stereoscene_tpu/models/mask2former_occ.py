@@ -443,33 +443,35 @@ def hungarian_match(cost: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def mask2former_loss(
-    outputs,
-    target_masks: jnp.ndarray,
+def mask_match_cost(
+    cls_logits: jnp.ndarray,
+    masks_flat: jnp.ndarray,
+    tgt_flat: jnp.ndarray,
     target_classes: jnp.ndarray,
-    target_valid: jnp.ndarray,
-    no_object_weight: float = 0.1,
-):
-    """Hungarian-matched mask classification loss (single layer).
+    cost_weights: tuple = (2.0, 5.0, 5.0),
+) -> jnp.ndarray:
+    """Hungarian matching cost, matching the reference MaskHungarianAssigner
+    (ref: occupancy/maskformer/assigners/mask_hungarian_assigner.py:40-120
+    with the example_cfg.py:147-153 costs, which delegate to mmdet's
+    match_costs):
+
+    - ClassificationCost: minus softmax *probability* of the target class.
+    - CrossEntropyLossCost(use_sigmoid): per-pair mean sigmoid BCE,
+      cost[q,t] = mean_v[bce(x_qv,1) g_tv + bce(x_qv,0)(1-g_tv)]
+                = mean_v[softplus(-x) + x (1-g)].
+    - DiceCost(pred_act, eps=1): 1 - (2 <p,g> + 1) / (sum p + sum g + 1).
 
     Args:
-      outputs: head output dict (cls/mask logits).
-      target_masks: [B, T, X, Y, Z] binary masks per GT segment.
-      target_classes: [B, T] int classes.
-      target_valid: [B, T] bool (padded slots False).
+      cls_logits: [B, Q, K+1]; masks_flat: [B, Q, V] mask logits;
+      tgt_flat: [B, T, V] binary targets; target_classes: [B, T] ints.
+    Returns: [B, Q, T] cost.
     """
-    cls_logits = outputs["cls_logits"].astype(jnp.float32)
-    mask_logits = outputs["mask_logits"].astype(jnp.float32)
     b, qn = cls_logits.shape[:2]
-    t = target_masks.shape[1]
-    v = int(np.prod(target_masks.shape[2:]))
-    masks_flat = mask_logits.reshape(b, qn, v)
-    tgt_flat = target_masks.reshape(b, t, v).astype(jnp.float32)
-
-    # matching cost: -P(class) + mask BCE + dice
-    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    t = tgt_flat.shape[1]
+    v = masks_flat.shape[-1]
+    p_cls = jax.nn.softmax(cls_logits, axis=-1)
     cost_cls = -jnp.take_along_axis(
-        jnp.broadcast_to(logp[:, :, None], (b, qn, t, logp.shape[-1])),
+        jnp.broadcast_to(p_cls[:, :, None], (b, qn, t, p_cls.shape[-1])),
         jnp.broadcast_to(
             target_classes[:, None, :, None], (b, qn, t, 1)
         ).astype(jnp.int32),
@@ -480,9 +482,46 @@ def mask2former_loss(
     cost_dice = 1.0 - (2 * inter + 1.0) / (
         probs.sum(-1)[:, :, None] + tgt_flat.sum(-1)[:, None] + 1.0
     )
-    cost = cost_cls + cost_dice + 1e4 * (~target_valid)[:, None].astype(
-        jnp.float32
-    )
+    pos = jax.nn.softplus(-masks_flat)  # bce vs target 1
+    cost_mask = (
+        pos.sum(-1)[:, :, None]
+        + jnp.einsum("bqv,btv->bqt", masks_flat, 1.0 - tgt_flat)
+    ) / v
+    w_cls, w_mask, w_dice = cost_weights
+    return w_cls * cost_cls + w_mask * cost_mask + w_dice * cost_dice
+
+
+def mask2former_loss(
+    outputs,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    no_object_weight: float = 0.1,
+    cost_weights: tuple = (2.0, 5.0, 5.0),
+):
+    """Hungarian-matched mask classification loss (single layer).
+
+    Args:
+      outputs: head output dict (cls/mask logits).
+      target_masks: [B, T, X, Y, Z] binary masks per GT segment.
+      target_classes: [B, T] int classes.
+      target_valid: [B, T] bool (padded slots False).
+      cost_weights: (cls, mask-BCE, dice) matching-cost weights; defaults
+        are the reference MaskHungarianAssigner's (ClassificationCost 2.0,
+        CrossEntropyLossCost use_sigmoid 5.0, DiceCost 5.0 —
+        ref: occupancy/maskformer/example_cfg.py:147-153).
+    """
+    cls_logits = outputs["cls_logits"].astype(jnp.float32)
+    mask_logits = outputs["mask_logits"].astype(jnp.float32)
+    b, qn = cls_logits.shape[:2]
+    t = target_masks.shape[1]
+    v = int(np.prod(target_masks.shape[2:]))
+    masks_flat = mask_logits.reshape(b, qn, v)
+    tgt_flat = target_masks.reshape(b, t, v).astype(jnp.float32)
+
+    cost = mask_match_cost(
+        cls_logits, masks_flat, tgt_flat, target_classes, cost_weights
+    ) + 1e4 * (~target_valid)[:, None].astype(jnp.float32)
     assign = hungarian_match(cost)  # [B, Q]; -1 = unmatched query
 
     # gather matched targets per query; unmatched queries -> no-object

@@ -17,6 +17,8 @@ Rebuild of the GwcNet-style stereo volume construction
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 
@@ -54,8 +56,6 @@ def groupwise_correlation_volume(
     # (D-major) relayout happens on the group-reduced volume (C/cpg times
     # smaller) and in the input dtype, not f32 — the HBM traffic of this op
     # dominates its cost on TPU (PERF.md).
-    import os
-
     if os.environ.get("STEREOSCENE_GWC_HMAJOR", "1") != "1":
         right_shift = jnp.take(right, src.reshape(-1), axis=2)
         right_shift = right_shift.reshape(
@@ -66,12 +66,18 @@ def groupwise_correlation_volume(
         vol = jnp.mean(prod, axis=-1)
         return (vol * valid[None, :, None, :, None]).astype(dt)
 
+    # Products and the per-group mean accumulate in f32 (matches the
+    # reference's fp32 correlation under AMP); only the group-reduced
+    # volume — C/cpg times smaller — is cast back to the input dtype, so
+    # the dominant HBM write stays in dt.
     right_shift = jnp.take(right, src.reshape(-1), axis=2)
     right_shift = right_shift.reshape(b, h, max_disp, w, c)
-    prod = left[:, :, None].astype(dt) * right_shift.astype(dt)
+    prod = left[:, :, None].astype(jnp.float32) * right_shift.astype(
+        jnp.float32)
     prod = prod.reshape(b, h, max_disp, w, num_groups, cpg)
-    vol = jnp.mean(prod, axis=-1) * valid[None, None, :, :, None]
-    return vol.transpose(0, 2, 1, 3, 4)
+    vol = jnp.mean(prod, axis=-1) * valid[None, None, :, :, None].astype(
+        jnp.float32)
+    return vol.astype(dt).transpose(0, 2, 1, 3, 4)
 
 
 def warp_disparity_to_depth(

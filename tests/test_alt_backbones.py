@@ -42,8 +42,13 @@ def test_efficientnet_edgetpu_archs():
     stem, stages, head = scaled_stage_settings("es")
     assert stem == 32 and head == 1280
     assert [st[-1][1] for st in stages] == [24, 32, 48, 144, 192]
-    # every es block is an edge block without SE
+    # no SE anywhere in the 'e' family
     assert all(len(b) == 7 and b[2] == 0 for st in stages for b in st)
+    # block_type per row (ref layer_settings['e']): 3x3 24/32/48 stages are
+    # EdgeResidual; 5x5 96/144/192 stages are InvertedResidual
+    kinds = {c: kind for st in stages for (_, c, _, _, _, kind, _) in st}
+    assert kinds == {24: "edge", 32: "edge", 48: "edge",
+                     96: "mb", 144: "mb", 192: "mb"}
 
     stem, stages, head = scaled_stage_settings("el")
     assert stem == 40 and head == 1536

@@ -340,3 +340,48 @@ def test_create_groundtruth_database(kitti_tree):
     assert os.path.exists(
         os.path.join(kitti_tree, "kitti_dbinfos_train.pkl")
     )
+    # box3d_lidar is the BOTTOM-center box (mmdet3d dbinfos convention):
+    # cropped points shifted by it must sit in z within [0, dz]
+    box = entry["box3d_lidar"]
+    z_in_box = pts[:, 2]  # already bottom-center shifted
+    assert z_in_box.min() > -0.5 and z_in_box.max() < box[5] + 0.5
+    # pasting points at box3d_lidar's z reproduces the original cloud:
+    # original z ~ box z + in-box z, so the original points' min z should
+    # sit near box[2] (bottom), NOT near box[2] - dz/2
+    orig = np.fromfile(
+        os.path.join(kitti_tree, "training", "velodyne", "000000.bin"),
+        np.float32,
+    ).reshape(-1, 4)
+    lo = (pts[:, 2] + box[2]).min()
+    assert orig[:, 2].min() - 1.0 < lo < orig[:, 2].max() + 1.0
+
+
+def test_waymo_box_to_kitti_row():
+    """waymo volumetric-center front-left-up boxes -> KITTI bottom-center
+    camera-frame rows (ref: waymo_converter.py:253-330)."""
+    from tools.data_converter.waymo_converter import waymo_box_to_kitti_row
+
+    # identity-rotation velo->cam with the KITTI axis swap:
+    # cam x = -velo y, cam y = -velo z, cam z = velo x
+    t = np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]]
+    )
+    row = waymo_box_to_kitti_row(
+        center=np.array([10.0, 2.0, 1.0]),
+        lwh=np.array([4.0, 1.8, 1.5]),
+        heading=0.25,
+        obj_type=1,  # VEHICLE
+        t_velo_to_cam=t,
+        bbox2d=(1, 2, 3, 4),
+        track_id="tid",
+    )
+    assert row["name"] == "Car"
+    assert row["hwl"] == (1.5, 1.8, 4.0)
+    # bottom center: z = 1.0 - 1.5/2 = 0.25 before the axis swap
+    np.testing.assert_allclose(row["xyz"], (-2.0, -0.25, 10.0))
+    assert row["rotation_y"] == pytest.approx(-0.25 - np.pi / 2)
+    assert row["track_id"] == "tid"
+    # SIGN / UNKNOWN filtered out
+    assert waymo_box_to_kitti_row(
+        np.zeros(3), np.ones(3), 0.0, 3, t
+    ) is None

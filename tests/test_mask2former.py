@@ -185,3 +185,52 @@ def test_mask2former_trains():
     last = float(loss_fn(params))
     assert np.isfinite(first) and np.isfinite(last)
     assert last < first
+
+
+def test_match_cost_parity_vs_torch_mmdet_costs():
+    """Our matching cost vs an independent torch transcription of mmdet's
+    ClassificationCost / CrossEntropyLossCost(use_sigmoid) / DiceCost —
+    the costs the reference MaskHungarianAssigner builds
+    (ref: occupancy/maskformer/example_cfg.py:147-153)."""
+    import torch
+    import torch.nn.functional as F
+
+    from stereoscene_tpu.models.mask2former_occ import mask_match_cost
+
+    rng = np.random.RandomState(3)
+    B, Q, T, V, K = 2, 7, 5, 64, 4
+    cls_logits = rng.randn(B, Q, K + 1).astype(np.float32)
+    mask_logits = rng.randn(B, Q, V).astype(np.float32)
+    tgt = (rng.rand(B, T, V) > 0.5).astype(np.float32)
+    tgt_cls = rng.randint(0, K, (B, T))
+
+    ours = np.asarray(
+        mask_match_cost(
+            jnp.asarray(cls_logits), jnp.asarray(mask_logits),
+            jnp.asarray(tgt), jnp.asarray(tgt_cls),
+        )
+    )
+
+    for b in range(B):
+        cp = torch.from_numpy(cls_logits[b])
+        mp = torch.from_numpy(mask_logits[b])
+        gm = torch.from_numpy(tgt[b])
+        gl = torch.from_numpy(tgt_cls[b])
+        # mmdet ClassificationCost: -softmax(pred)[:, gt]
+        cost_cls = -cp.softmax(-1)[:, gl]
+        # mmdet CrossEntropyLossCost(use_sigmoid=True)
+        pos = F.binary_cross_entropy_with_logits(
+            mp, torch.ones_like(mp), reduction="none")
+        neg = F.binary_cross_entropy_with_logits(
+            mp, torch.zeros_like(mp), reduction="none")
+        cost_mask = (
+            torch.einsum("nc,mc->nm", pos, gm)
+            + torch.einsum("nc,mc->nm", neg, 1 - gm)
+        ) / V
+        # mmdet DiceCost(pred_act=True, eps=1.0)
+        mprob = mp.sigmoid()
+        num = 2 * torch.einsum("nc,mc->nm", mprob, gm)
+        den = mprob.sum(-1)[:, None] + gm.sum(-1)[None, :]
+        cost_dice = 1 - (num + 1.0) / (den + 1.0)
+        ref = (2.0 * cost_cls + 5.0 * cost_mask + 5.0 * cost_dice).numpy()
+        np.testing.assert_allclose(ours[b], ref, rtol=1e-4, atol=1e-5)

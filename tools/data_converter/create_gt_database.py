@@ -84,6 +84,11 @@ def create_groundtruth_database(
             filename = f"{idx}_{name}_{i}.bin"
             filepath = os.path.join(database_save_path, filename)
             gt_points.astype(np.float32).tofile(filepath)
+            # box3d_lidar stores the BOTTOM-center box (mmdet3d dbinfos
+            # convention; box_camera_to_lidar yields gravity centers), so
+            # mmdet3d-style GT samplers paste objects at the right height
+            box_bottom = boxes_lidar[i].copy()
+            box_bottom[2] -= boxes_lidar[i, 5] / 2.0
             db_infos.setdefault(name, []).append({
                 "name": name,
                 "path": os.path.join(
@@ -91,7 +96,7 @@ def create_groundtruth_database(
                 ),
                 "image_idx": idx,
                 "gt_idx": i,
-                "box3d_lidar": boxes_lidar[i],
+                "box3d_lidar": box_bottom,
                 "num_points_in_gt": int(inside[:, i].sum()),
                 "difficulty": int(annos["difficulty"][i]),
                 "group_id": int(annos["group_ids"][i]),

@@ -133,6 +133,58 @@ class KittiFormatWriter:
         return path
 
 
+# Waymo proto enum Label.Type -> name, and waymo name -> KITTI class
+# (ref: waymo_converter.py:52-64 type_list / waymo_to_kitti_class_map)
+WAYMO_TYPES = ("UNKNOWN", "VEHICLE", "PEDESTRIAN", "SIGN", "CYCLIST")
+WAYMO_TO_KITTI_CLASS = {
+    "UNKNOWN": "DontCare",
+    "VEHICLE": "Car",
+    "PEDESTRIAN": "Pedestrian",
+    "SIGN": "Sign",
+    "CYCLIST": "Cyclist",
+}
+SELECTED_WAYMO_CLASSES = ("VEHICLE", "PEDESTRIAN", "CYCLIST")
+
+
+def waymo_box_to_kitti_row(
+    center: np.ndarray,
+    lwh: np.ndarray,
+    heading: float,
+    obj_type: int,
+    t_velo_to_cam: np.ndarray,
+    bbox2d=(0.0, 0.0, 0.0, 0.0),
+    track_id: str = "",
+) -> Optional[Dict]:
+    """Convert one waymo laser label to a KITTI label row (pure numpy).
+
+    Coordinate relation (ref: waymo_converter.py:253-268 docstring):
+    waymo boxes are volumetric-center, front-left-up, sized (l, w, h) with
+    heading about +z; KITTI rows are bottom-center in the camera frame
+    (right-down-front), sized (h, w, l), with rotation_y = -heading - pi/2.
+
+    Returns None for classes outside the selected set.
+    """
+    name = WAYMO_TYPES[obj_type] if obj_type < len(WAYMO_TYPES) else "UNKNOWN"
+    if name not in SELECTED_WAYMO_CLASSES:
+        return None
+    length, width, height = (float(v) for v in lwh)
+    bottom = np.array(
+        [center[0], center[1], center[2] - height / 2.0, 1.0]
+    )
+    cam = (np.asarray(t_velo_to_cam, dtype=float) @ bottom).reshape(-1)
+    return {
+        "name": WAYMO_TO_KITTI_CLASS[name],
+        "truncated": 0.0,
+        "occluded": 0,
+        "alpha": -10.0,
+        "bbox": tuple(float(v) for v in bbox2d),
+        "hwl": (height, width, length),
+        "xyz": (float(cam[0]), float(cam[1]), float(cam[2])),
+        "rotation_y": float(-heading - np.pi / 2.0),
+        **({"track_id": track_id} if track_id else {}),
+    }
+
+
 class Waymo2KITTI:
     """TFRecord -> KITTI-format conversion orchestrator (ref :23-128).
 
@@ -155,6 +207,7 @@ class Waymo2KITTI:
         self.writer = KittiFormatWriter(save_dir, prefix)
         self.workers = workers
         self.test_mode = test_mode
+        self.filter_empty_3dboxes = True
 
     def convert(self):  # pragma: no cover - needs TF
         from glob import glob
@@ -195,11 +248,85 @@ class Waymo2KITTI:
             self.writer.write_calib(
                 file_idx, frame_idx, projections, np.eye(3), trs
             )
-            # lidar points: range-image extraction (ref :392-498) needs the
-            # waymo_open_dataset range_image utils; delegated here
-            from waymo_open_dataset.utils.frame_utils import (
-                parse_range_image_and_camera_projection,
-            )  # noqa: F401  (full extraction mirrors ref :203-251)
+
+            # ---- lidar: both returns, [x y z intensity elongation t]
+            #      float32 (ref :203-251). keep_polar_features puts
+            #      (range, intensity, elongation) in cols 0:3 and xyz in
+            #      3:6 of the decoded point tensor. ----
+            from waymo_open_dataset.utils import frame_utils
+
+            parsed = frame_utils.parse_range_image_and_camera_projection(
+                frame
+            )
+            range_images, camera_projections = parsed[0], parsed[1]
+            top_pose = parsed[-1]
+            clouds = []
+            for ri_index in (0, 1):
+                pts, _ = frame_utils.convert_range_image_to_point_cloud(
+                    frame, range_images, camera_projections, top_pose,
+                    ri_index=ri_index, keep_polar_features=True,
+                )
+                pts = np.concatenate([np.asarray(p) for p in pts], axis=0)
+                clouds.append(pts)
+            pts = np.concatenate(clouds, axis=0)
+            timestamp = np.full(
+                (pts.shape[0], 1), frame.timestamp_micros, dtype=np.float64
+            )
+            self.writer.write_lidar(
+                file_idx, frame_idx,
+                np.column_stack(
+                    [pts[:, 3:6], pts[:, 1:2], pts[:, 2:3], timestamp]
+                ),
+            )
+
+            # ---- labels: per-camera rows keyed by the projected 2D box,
+            #      all rows into label_all (ref :253-351) ----
+            if not self.test_mode:
+                id_to_box2d, id_to_cam = {}, {}
+                for labels in frame.projected_lidar_labels:
+                    cam = labels.name - 1  # proto CameraName is 1-based
+                    for lab in labels.labels:
+                        box2d = (
+                            lab.box.center_x - lab.box.length / 2,
+                            lab.box.center_y - lab.box.width / 2,
+                            lab.box.center_x + lab.box.length / 2,
+                            lab.box.center_y + lab.box.width / 2,
+                        )
+                        # projected label ids carry a _<CAM> suffix over
+                        # the laser label id
+                        base = lab.id.rsplit("_", 2)[0]
+                        id_to_box2d.setdefault(base, box2d)
+                        id_to_cam.setdefault(base, cam)
+                t_front = trs[0] if trs else np.eye(4)
+                per_cam: Dict[int, List[Dict]] = {
+                    i: [] for i in range(self.writer.num_cams)
+                }
+                all_rows: List[Dict] = []
+                for obj in frame.laser_labels:
+                    if (
+                        self.filter_empty_3dboxes
+                        and obj.num_lidar_points_in_box < 1
+                    ):
+                        continue
+                    row = waymo_box_to_kitti_row(
+                        np.array([obj.box.center_x, obj.box.center_y,
+                                  obj.box.center_z]),
+                        np.array([obj.box.length, obj.box.width,
+                                  obj.box.height]),
+                        obj.box.heading,
+                        obj.type,
+                        t_front,
+                        bbox2d=id_to_box2d.get(obj.id, (0, 0, 0, 0)),
+                        track_id=obj.id,
+                    )
+                    if row is None:
+                        continue
+                    all_rows.append(row)
+                    per_cam[id_to_cam.get(obj.id, 0)].append(row)
+                self.writer.write_label(file_idx, frame_idx, None, all_rows)
+                for cam, rows in per_cam.items():
+                    self.writer.write_label(file_idx, frame_idx, cam, rows)
+
             self.writer.write_pose(
                 file_idx, frame_idx,
                 np.array(frame.pose.transform).reshape(4, 4),
