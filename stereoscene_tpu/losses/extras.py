@@ -128,28 +128,38 @@ def gaussian_depth_target(
     num_depth: int,
     constant_std: float = 0.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-pixel Gaussian distribution over depth bins centered at the
-    min-pooled LiDAR depth (ref: utils/gaussian.py:90-130).
+    """Per-pixel Gaussian distribution over depth bins from the min-pooled
+    LiDAR depth, numerically identical to the reference
+    (ref: utils/gaussian.py:90-130, verified by tests/test_reference_direct).
+
+    Two reference quirks reproduced deliberately:
+    - The Normal's mean/std are divided by the bin interval but its CDF is
+      evaluated at *raw-depth* grid edges ``lo - step/2 + k*step`` — a unit
+      mismatch that shifts the effective center off ``min_depth`` (benign in
+      the active recipe, which trains with the BCE depth loss instead).
+    - Bin masses are raw CDF differences, NOT renormalized to sum to 1.
+
+    Patches with no LiDAR return get depth value 0 (filtered by the fg-range
+    mask in ``klv_depth_loss``).
 
     Returns (gaussian [B*N*h*w, D], depth_values [B*N*h*w])."""
     b, n, h, w = gt_depths.shape
     d = downsample
     x = gt_depths.reshape(b * n, h // d, d, w // d, d)
-    x = jnp.where(x == 0.0, 1e5, x)
+    x = jnp.where(x == 0.0, 1e10, x)
     depth_vals = jnp.min(x, axis=(2, 4)).reshape(-1)
+    depth_vals = jnp.where(depth_vals == 1e10, 0.0, depth_vals)
 
     lo, _, step = dbound
-    centers = lo + step * jnp.arange(num_depth, dtype=jnp.float32)
-    # CDF difference over each bin: N(depth, std) mass in [c - s/2, c + s/2]
-    std = constant_std
-    z_hi = (centers[None, :] + step / 2 - depth_vals[:, None]) / (
-        std * jnp.sqrt(2.0)
+    # D+1 raw-depth bin edges, evaluated against N(depth/step, std/step)
+    edges = (lo - step / 2) + step * jnp.arange(
+        num_depth + 1, dtype=jnp.float32
     )
-    z_lo = (centers[None, :] - step / 2 - depth_vals[:, None]) / (
-        std * jnp.sqrt(2.0)
-    )
-    mass = 0.5 * (jax.lax.erf(z_hi) - jax.lax.erf(z_lo))
-    mass = mass / jnp.maximum(jnp.sum(mass, axis=1, keepdims=True), _EPS)
+    mu = depth_vals / step
+    sigma = constant_std / step
+    z = (edges[None, :] - mu[:, None]) / (sigma * jnp.sqrt(2.0))
+    cdf = 0.5 * (1.0 + jax.lax.erf(z))
+    mass = cdf[:, 1:] - cdf[:, :-1]
     return mass, depth_vals
 
 

@@ -68,21 +68,21 @@ class CA3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         data = Conv3d(self.channels, 3, padding=1, name="conv1")(x)
-        data = nn.gelu(data)
+        data = nn.gelu(data, approximate=False)
         data = GroupNorm(num_groups=1, name="gn1")(data)
 
         pooled = jnp.mean(data.astype(jnp.float32), axis=(1, 2, 3))
         squeeze = nn.Dense(self.channels // 8, name="fc_reduce")(
             pooled.astype(x.dtype)
         )
-        squeeze = nn.gelu(squeeze)
+        squeeze = nn.gelu(squeeze, approximate=False)
         squeeze = nn.Dense(self.channels, name="fc_expand")(squeeze)
-        squeeze = nn.gelu(squeeze)
+        squeeze = nn.gelu(squeeze, approximate=False)
         weight = nn.sigmoid(squeeze)[:, None, None, None, :]
 
         out = weight.astype(data.dtype) * data
         out = Conv3d(self.channels, 3, padding=1, name="conv2")(out)
-        out = nn.gelu(out)
+        out = nn.gelu(out, approximate=False)
         return GroupNorm(num_groups=1, name="gn2")(out)
 
 

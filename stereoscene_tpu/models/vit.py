@@ -31,7 +31,7 @@ class TransformerBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=jnp.float32)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_fc2")(y)
         return x + y
 

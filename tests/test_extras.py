@@ -47,21 +47,28 @@ def test_position_aware_loss_runs_and_upweights():
     assert np.isfinite(loss_flat)
 
 
-def test_gaussian_depth_target_normalized():
+def test_gaussian_depth_target_reference_semantics():
+    """Reference-literal behavior (utils/gaussian.py:90-130, proven
+    bit-exact in tests/test_reference_direct.py): the Normal's mean is
+    min_depth/step evaluated on the raw-depth grid (unit mismatch kept for
+    parity), masses are unnormalized CDF differences, and empty patches get
+    depth value 0."""
     gt = np.zeros((1, 1, 16, 16), np.float32)
-    gt[0, 0, 4, 4] = 5.0
+    gt[0, 0, 4, 4] = 3.0
     mass, vals = gaussian_depth_target(
         jnp.asarray(gt), 8, (2.0, 10.0, 0.5), 16
     )
-    mass = np.asarray(mass)
-    idx = int(np.asarray(vals).argmin())  # the one pixel with a return
-    # foreground pixel's distribution is normalized; background rows are 0
-    np.testing.assert_allclose(mass[idx].sum(), 1.0, atol=1e-5)
-    bg = np.delete(mass, idx, axis=0)
-    assert bg.sum() < 1e-5
-    peak_bin = mass[idx].argmax()
-    centers = 2.0 + 0.5 * np.arange(16)
-    assert abs(centers[peak_bin] - 5.0) <= 0.5
+    mass, vals = np.asarray(mass), np.asarray(vals)
+    idx = int(vals.argmax())  # the one pixel with a return
+    assert vals[idx] == 3.0
+    # empty patches: depth 0 and (mu=0, sigma=1) mass left of the grid
+    assert np.all(np.delete(vals, idx) == 0.0)
+    # effective center = min_depth/step = 6.0 raw -> bin edges around 6.0
+    edges = 1.75 + 0.5 * np.arange(17)
+    peak = mass[idx].argmax()
+    assert edges[peak] <= 6.0 <= edges[peak + 1]
+    # interior center -> nearly all mass inside the grid, unnormalized
+    assert 0.99 < mass[idx].sum() <= 1.0 + 1e-6
 
 
 def test_klv_depth_loss_zero_for_matching_dist():
