@@ -56,6 +56,78 @@ def load_config(path: str) -> Dict[str, Any]:
     return _merge(merged, cfg)
 
 
+def _parse_option_value(text: str) -> Any:
+    """mmcv DictAction value semantics: literal python where possible,
+    'true'/'false'/'none' keywords, and top-level commas building a tuple
+    (ref: tools/train.py:69-78 --cfg-options help text)."""
+    import ast
+
+    text = text.strip()
+    low = text.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        pass
+    # top-level comma list (respecting brackets/parens)
+    depth, parts, cur = 0, [], []
+    for ch in text:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if parts:
+        parts.append("".join(cur))
+        return tuple(_parse_option_value(p) for p in parts)
+    return text
+
+
+def merge_from_options(cfg: Dict[str, Any], options: Dict[str, Any] | list):
+    """Deep-override config entries from ``key.path=value`` options.
+
+    Mirrors mmcv's ``Config.merge_from_dict`` used by the reference's
+    ``--cfg-options`` (ref: tools/train.py:69-78, 107-110): dotted keys walk
+    nested dicts (creating them as needed); integer path segments index into
+    lists/tuples. ``options`` may be a dict {key: value} or a list of
+    ``"key=value"`` strings (values parsed like mmcv DictAction).
+    """
+    if isinstance(options, (list, tuple)):
+        parsed = {}
+        for item in options:
+            if "=" not in item:
+                raise ValueError(f"--cfg-options entry needs key=value: {item}")
+            k, v = item.split("=", 1)
+            parsed[k] = _parse_option_value(v)
+        options = parsed
+
+    for key, value in options.items():
+        parts = key.split(".")
+        node = cfg
+        for i, part in enumerate(parts[:-1]):
+            if isinstance(node, (list, tuple)) and part.lstrip("-").isdigit():
+                node = node[int(part)]
+            else:
+                if part not in node or not isinstance(
+                    node[part], (dict, list, tuple)
+                ):
+                    node[part] = {}
+                node = node[part]
+        last = parts[-1]
+        if isinstance(node, list) and last.lstrip("-").isdigit():
+            node[int(last)] = value
+        else:
+            node[last] = value
+    return cfg
+
+
 class Config(dict):
     """Attribute-style access over the plain config dict."""
 

@@ -16,10 +16,13 @@ algorithm is implemented here in numpy, bit-faithful to the devkit):
   period pi for barriers), AVE (velocity L2)
 - NDS = (5 * mAP + sum_tp (1 - min(1, mTP))) / 10
 
-Attribute error (AAE) is not computed: the framework predicts no attributes
-(documented de-scope; the slot contributes like an always-1 error would NOT —
-it is excluded from both the TP list and the NDS denominator, i.e. NDS uses
-4 TP metrics here unless attributes are supplied).
+Attribute error (AAE) is computed when boxes carry attribute names
+(``with_attributes=True``): AAE = 1 - attribute classification accuracy over
+matched TPs whose GT attribute is non-empty (devkit ``attr_acc`` — empty-GT
+matches contribute NaN and are skipped, ref nuscnes_eval.py:661 and the
+devkit's nan-aware cummean). With attributes the NDS denominator is the full
+10 (5 TP metrics); without them AAE is excluded from both the TP list and
+the denominator.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 N_REC_POINTS = 101
 TP_METRICS = ("trans_err", "scale_err", "orient_err", "vel_err")
+TP_METRICS_ATTR = TP_METRICS + ("attr_err",)
 
 
 @dataclass
@@ -53,6 +57,7 @@ class DetBox:
     velocity: np.ndarray
     detection_name: str
     score: float = -1.0
+    attribute_name: str = ""
 
 
 @dataclass
@@ -64,6 +69,7 @@ class MetricData:
     scale_err: np.ndarray
     orient_err: np.ndarray
     vel_err: np.ndarray
+    attr_err: np.ndarray = None
 
     @property
     def max_recall_ind(self) -> int:
@@ -76,7 +82,7 @@ def _no_predictions_md() -> MetricData:
     o = np.ones(N_REC_POINTS)
     return MetricData(recall=np.linspace(0, 1, N_REC_POINTS), precision=z,
                       confidence=z, trans_err=o, scale_err=o, orient_err=o,
-                      vel_err=o)
+                      vel_err=o, attr_err=o)
 
 
 def center_distance(a: DetBox, b: DetBox) -> float:
@@ -100,6 +106,14 @@ def scale_iou(a: DetBox, b: DetBox) -> float:
 
 def velocity_l2(a: DetBox, b: DetBox) -> float:
     return float(np.linalg.norm(a.velocity[:2] - b.velocity[:2]))
+
+
+def attr_acc(gt: DetBox, pred: DetBox) -> float:
+    """Devkit attr_acc: NaN when the GT has no attribute (skipped in the
+    nan-aware cumulative mean), else exact-match accuracy."""
+    if not gt.attribute_name:
+        return np.nan
+    return float(gt.attribute_name == pred.attribute_name)
 
 
 def _cummean(x: np.ndarray) -> np.ndarray:
@@ -130,7 +144,7 @@ def accumulate(
     taken: Dict[str, set] = {tok: set() for tok in gt_by_sample}
 
     tp, fp, conf = [], [], []
-    err = {k: [] for k in TP_METRICS}
+    err = {k: [] for k in TP_METRICS_ATTR}
     period = np.pi if class_name == "barrier" else 2 * np.pi
     for p in preds:
         best_dist, best_idx = np.inf, None
@@ -149,6 +163,7 @@ def accumulate(
             err["scale_err"].append(1.0 - scale_iou(p, g))
             err["orient_err"].append(yaw_diff(p, g, period))
             err["vel_err"].append(velocity_l2(p, g))
+            err["attr_err"].append(1.0 - attr_acc(g, p))
         else:
             tp.append(0)
             fp.append(1)
@@ -169,15 +184,17 @@ def accumulate(
     out = {"recall": rec_interp, "precision": precision,
            "confidence": confidence}
     if sum(tp) == 0:
-        for k in TP_METRICS:
+        for k in TP_METRICS_ATTR:
             out[k] = np.ones(N_REC_POINTS)
     else:
         # recall positions of the matches only (devkit: tp errors are
         # cumulative means sampled at the match recalls)
         match_rec = rec[np.asarray(tp, bool)]
-        for k in TP_METRICS:
-            cm = _cummean(np.asarray(err[k], float))
-            out[k] = np.interp(rec_interp, match_rec, cm, right=1.0) \
+        for k in TP_METRICS_ATTR:
+            vals = np.asarray(err[k], float)
+            keep = ~np.isnan(vals)  # devkit nan-aware cummean (attr_err)
+            cm = _cummean(vals[keep])
+            out[k] = np.interp(rec_interp, match_rec[keep], cm, right=1.0) \
                 if len(cm) else np.ones(N_REC_POINTS)
     return MetricData(**out)
 
@@ -215,9 +232,13 @@ def evaluate_detections(
     classes: Sequence[str] = DETECTION_CLASSES,
     dist_thresholds: Sequence[float] = DIST_THRESHOLDS,
     dist_th_tp: float = DIST_TH_TP,
+    with_attributes: bool = False,
 ) -> DetectionMetrics:
     """Full detection scoring -> mAP, per-class AP, mTP errors, NDS
-    (devkit DetectionEval.evaluate + DetectionMetrics aggregation)."""
+    (devkit DetectionEval.evaluate + DetectionMetrics aggregation).
+    ``with_attributes=True`` adds AAE to the TP metrics and scores NDS over
+    the full 10-point denominator (requires boxes with attribute_name)."""
+    tp_list = TP_METRICS_ATTR if with_attributes else TP_METRICS
     metrics = DetectionMetrics()
     ap_sum, ap_count = 0.0, 0
     for cls in classes:
@@ -231,16 +252,16 @@ def evaluate_detections(
 
         md_tp = accumulate(gt_boxes, pred_boxes, cls, dist_th_tp)
         metrics.class_tps[cls] = {
-            k: calc_tp(md_tp, k) for k in TP_METRICS
+            k: calc_tp(md_tp, k) for k in tp_list
         }
     metrics.mean_ap = ap_sum / max(ap_count, 1)
-    for k in TP_METRICS:
+    for k in tp_list:
         metrics.tp_errors[k] = float(
             np.mean([metrics.class_tps[c][k] for c in classes])
         )
-    tp_scores = [1.0 - min(1.0, metrics.tp_errors[k]) for k in TP_METRICS]
+    tp_scores = [1.0 - min(1.0, metrics.tp_errors[k]) for k in tp_list]
     metrics.nd_score = (5.0 * metrics.mean_ap + sum(tp_scores)) / (
-        5.0 + len(TP_METRICS)
+        5.0 + len(tp_list)
     )
     return metrics
 
@@ -251,6 +272,7 @@ def boxes_from_arrays(
     labels: np.ndarray,     # [N] int
     scores: Optional[np.ndarray] = None,
     classes: Sequence[str] = DETECTION_CLASSES,
+    attributes: Optional[Sequence[str]] = None,
 ) -> List[DetBox]:
     """Convenience converter from the decoder's array outputs."""
     out = []
@@ -264,5 +286,6 @@ def boxes_from_arrays(
             velocity=np.asarray(vel, float),
             detection_name=classes[int(labels[i])],
             score=float(scores[i]) if scores is not None else -1.0,
+            attribute_name=attributes[i] if attributes is not None else "",
         ))
     return out

@@ -7,7 +7,10 @@ Replaces ``custom_train_detector`` + ``EpochBasedRunner`` + ``OccDistEvalHook``
   axis, params replicated -> XLA all-reduces grads, the DDP equivalent),
 - eval every ``eval_interval`` epochs with the streaming SSC metric state,
 - best checkpoint by ``semkitti_combined_IoU`` + keep-last-k,
-- JSONL metric logging on host 0 and optional per-stage profiling
+- JSONL + TensorBoard metric logging on host 0 (the reference's
+  TextLoggerHook + TensorboardLoggerHook at interval 50,
+  ref projects/configs/_base_/default_runtime.py:6-11) and optional
+  per-stage profiling
   (the reference's ``record_time`` latency table,
   ref bevdepth_occupancy.py:252-263, becomes a --profile flag that wraps the
   step in ``block_until_ready`` timers).
@@ -29,6 +32,24 @@ from .. import metrics as ssc_metrics
 from ..losses import KITTI_CLASS_NAMES
 from .checkpoint import CheckpointManager
 from .train import TrainState
+
+
+class TransferWeightHook:
+    """Keep a separate eval-params copy synced from the train state every
+    ``every_n_iters`` steps — the reference's ``TransferWeight`` hook, which
+    copies ``runner.model`` into ``runner.eval_model`` after each train iter
+    (ref: bevformer/hooks/custom_hooks.py:6-13, used by BEVFormer's fp16
+    runner to evaluate a weight snapshot while training continues)."""
+
+    def __init__(self, every_n_iters: int = 1):
+        self.every_n_iters = max(1, int(every_n_iters))
+        self.eval_params = None
+        self.eval_batch_stats = None
+
+    def __call__(self, state, epoch: int, it: int, logs) -> None:
+        if it % self.every_n_iters == 0:
+            self.eval_params = state.params
+            self.eval_batch_stats = state.batch_stats
 
 
 class JsonlLogger:
@@ -65,8 +86,19 @@ def run_training(
     profile: bool = False,
     trace_dir: Optional[str] = None,
     trace_steps: Tuple[int, int] = (10, 15),
+    hooks: Optional[list] = None,
 ) -> TrainState:
+    """``hooks``: callables ``(state, epoch, it, logs)`` run after every
+    train step — the runner's custom-hook escape hatch (the reference's
+    runner accepts arbitrary mmcv hooks, ref occupancy/apis/mmdet_train.py:
+    180-192); see ``TransferWeightHook`` for the packaged equivalent of the
+    reference's TransferWeight."""
     logger = JsonlLogger(os.path.join(work_dir, "train_log.jsonl"))
+    tb = None
+    if jax.process_index() == 0:
+        from ..utils.tb_writer import TensorBoardWriter
+
+        tb = TensorBoardWriter(os.path.join(work_dir, "tf_logs"))
     ckpt = CheckpointManager(os.path.join(work_dir, "ckpts"))
     state, start_step = ckpt.restore(state)
 
@@ -104,20 +136,41 @@ def run_training(
             if profile:
                 jax.block_until_ready(logs["loss_total"])
                 logs["step_time_s"] = time.perf_counter() - t0
+            for hook in hooks or ():
+                hook(state, epoch, it, logs)
             if it % log_interval == 0:
-                logger.log(
-                    {"epoch": epoch, "iter": it, **jax.device_get(logs)}
-                )
+                host_logs = jax.device_get(logs)
+                logger.log({"epoch": epoch, "iter": it, **host_logs})
+                if tb is not None:
+                    tb.add_scalars(
+                        {
+                            f"train/{k}": float(v)
+                            for k, v in host_logs.items()
+                            if np.isscalar(v) or np.ndim(v) == 0
+                        },
+                        step=int(state.step),
+                    )
 
         metrics_out: Dict[str, float] = {}
         if eval_fn is not None and (epoch + 1) % eval_interval == 0:
             metrics_out = eval_fn(state)
             logger.log({"epoch": epoch, "eval": metrics_out})
+            if tb is not None:
+                tb.add_scalars(
+                    {
+                        f"val/{k}": float(v)
+                        for k, v in metrics_out.items()
+                        if isinstance(v, (int, float, np.floating))
+                    },
+                    step=int(state.step),
+                )
 
         ckpt.save(int(state.step), state, metrics=metrics_out)
         logger.log(
             {"epoch": epoch, "epoch_time_s": time.time() - t_epoch}
         )
+    if tb is not None:
+        tb.close()
     return state
 
 

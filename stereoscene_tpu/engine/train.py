@@ -63,11 +63,25 @@ class TrainState(struct.PyTreeNode):
 
 
 def step_lr_schedule(
-    base_lr: float, steps_per_epoch: int, milestones=(20, 25), gamma=0.1
+    base_lr: float, steps_per_epoch: int, milestones=(20, 25), gamma=0.1,
+    warmup_steps: int = 0, warmup_ratio: float = 1.0 / 3.0,
 ) -> optax.Schedule:
-    """Epoch-step LR decay (ref config stereoscene.py:212-215)."""
+    """Epoch-step LR decay (ref config stereoscene.py:211-215) with optional
+    mmcv-style linear warmup (LrUpdaterHook warmup='linear':
+    lr * (1 - (1 - i/warmup_iters) * (1 - warmup_ratio)) for the first
+    warmup_iters steps; off in the active recipe, exposed as the runner's
+    escape hatch)."""
     boundaries = {m * steps_per_epoch: gamma for m in milestones}
-    return optax.piecewise_constant_schedule(base_lr, boundaries)
+    decay = optax.piecewise_constant_schedule(base_lr, boundaries)
+    if warmup_steps <= 0:
+        return decay
+
+    def schedule(step):
+        frac = jnp.minimum(step / warmup_steps, 1.0)
+        warm = 1.0 - (1.0 - frac) * (1.0 - warmup_ratio)
+        return decay(step) * warm
+
+    return schedule
 
 
 def efficientnet_frozen_predicate(
@@ -114,14 +128,25 @@ def create_train_state(
     steps_per_epoch: int = 1,
     milestones=(20, 25),
     frozen_predicate: Optional[Callable[[str], bool]] = None,
+    warmup_steps: int = 0,
+    warmup_ratio: float = 1.0 / 3.0,
+    accumulate_steps: int = 1,
 ) -> TrainState:
     """``frozen_predicate`` (path string -> bool) implements the reference's
     ``frozen_stages`` backbone freezing (ref efficientnet.py frozen_stages /
     mmcls _freeze_stages): matching parameters get zero updates via
     optax.multi_transform. Note frozen-stage BatchNorm *statistics* still
     update during training (the reference's norm_eval flag is a separate
-    concern, off in the active config)."""
-    schedule = step_lr_schedule(lr, steps_per_epoch, milestones)
+    concern, off in the active config).
+
+    ``warmup_steps``/``warmup_ratio`` enable mmcv-style linear LR warmup and
+    ``accumulate_steps > 1`` enables gradient accumulation
+    (optax.MultiSteps — mmcv GradientCumulativeOptimizerHook equivalent);
+    both default off, matching the reference recipe."""
+    schedule = step_lr_schedule(
+        lr, steps_per_epoch, milestones,
+        warmup_steps=warmup_steps, warmup_ratio=warmup_ratio,
+    )
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(schedule, weight_decay=weight_decay, b1=0.9, b2=0.999),
@@ -132,6 +157,8 @@ def create_train_state(
             {"train": tx, "frozen": optax.set_to_zero()},
             _freeze_labels(params, frozen_predicate),
         )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

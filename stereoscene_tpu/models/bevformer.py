@@ -122,8 +122,10 @@ class OccupancyEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, bev_shape, img_feats, spatial_shapes,
-                 ref_points_img, ref_mask, prev_bev=None):
-        # temporal self-attention over the BEV grid (vs prev when provided)
+                 ref_points_img, ref_mask, prev_bev=None, shift=None):
+        # temporal self-attention over the BEV grid (vs prev when provided);
+        # with prev_bev, sampling points follow the ego-motion shift
+        # (ref: bevformer/modules/encoder.py shift_ref_2d)
         h, w = bev_shape
         grid_y, grid_x = jnp.meshgrid(
             (jnp.arange(h) + 0.5) / h, (jnp.arange(w) + 0.5) / w,
@@ -131,6 +133,8 @@ class OccupancyEncoderLayer(nn.Module):
         )
         self_ref = jnp.stack([grid_x, grid_y], -1).reshape(1, h * w, 1, 2)
         self_ref = jnp.broadcast_to(self_ref, (query.shape[0], h * w, 1, 2))
+        if prev_bev is not None and shift is not None:
+            self_ref = self_ref + shift.astype(self_ref.dtype)[:, None, None, :]
 
         value = prev_bev if prev_bev is not None else query
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(query).astype(
@@ -158,6 +162,88 @@ class OccupancyEncoderLayer(nn.Module):
         return query + y
 
 
+def ego_motion_shift(
+    can_bus: jnp.ndarray,
+    bev_shape: Tuple[int, int],
+    grid_length: Tuple[float, float],
+    use_shift: bool = True,
+) -> jnp.ndarray:
+    """Normalized BEV shift of the ego between frames, from can_bus deltas.
+
+    Reproduces the reference PerceptionTransformer.get_bev_features ego
+    compensation (ref: bevformer/modules/transformer.py:121-140):
+    can_bus[0:2] = delta position, can_bus[-2] = ego yaw (radians).
+
+    Args: can_bus [B, 18]. Returns [B, 2] (shift_x, shift_y) in units of the
+    normalized BEV grid.
+    """
+    h, w = bev_shape
+    delta_x, delta_y = can_bus[:, 0], can_bus[:, 1]
+    ego_angle = can_bus[:, -2] / jnp.pi * 180.0
+    translation_length = jnp.sqrt(delta_x**2 + delta_y**2)
+    translation_angle = jnp.arctan2(delta_y, delta_x) / jnp.pi * 180.0
+    bev_angle = ego_angle - translation_angle
+    shift_y = (
+        translation_length * jnp.cos(bev_angle / 180.0 * jnp.pi)
+        / grid_length[0] / h
+    )
+    shift_x = (
+        translation_length * jnp.sin(bev_angle / 180.0 * jnp.pi)
+        / grid_length[1] / w
+    )
+    scale = 1.0 if use_shift else 0.0
+    return jnp.stack([shift_x * scale, shift_y * scale], axis=-1)
+
+
+def rotate_bev(
+    prev_bev: jnp.ndarray, angle_deg: jnp.ndarray, bev_shape: Tuple[int, int]
+) -> jnp.ndarray:
+    """Rotate flattened BEV features about the grid center (bilinear, zero
+    fill) — the reference rotates prev_bev by can_bus[-1] degrees with
+    torchvision ``rotate`` before temporal attention
+    (ref: bevformer/modules/transformer.py:142-155).
+
+    Args: prev_bev [B, H*W, C]; angle_deg [B] counterclockwise degrees.
+    """
+    h, w = bev_shape
+    b, q, c = prev_bev.shape
+    grid = prev_bev.reshape(b, h, w, c)
+    theta = angle_deg * jnp.pi / 180.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def rot_one(g, th):
+        # inverse-rotate output coords into source coords
+        cos, sin = jnp.cos(th), jnp.sin(th)
+        sx = cos * (xs - cx) - sin * (ys - cy) + cx
+        sy = sin * (xs - cx) + cos * (ys - cy) + cy
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        fx, fy = sx - x0, sy - y0
+
+        def tap(yy, xx):
+            inside = (
+                (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            ).astype(g.dtype)[..., None]
+            val = g[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+            return val * inside
+
+        out = (
+            tap(y0, x0) * ((1 - fy) * (1 - fx))[..., None]
+            + tap(y0, x0 + 1) * ((1 - fy) * fx)[..., None]
+            + tap(y0 + 1, x0) * (fy * (1 - fx))[..., None]
+            + tap(y0 + 1, x0 + 1) * (fy * fx)[..., None]
+        )
+        return out
+
+    return jax.vmap(rot_one)(grid, theta.astype(jnp.float32)).reshape(
+        b, q, c
+    )
+
+
 class OccupancyEncoder(nn.Module):
     """Learned BEV queries refined by stacked encoder layers."""
 
@@ -178,13 +264,22 @@ class OccupancyEncoder(nn.Module):
         gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
         return np.stack([gx, gy, gz], -1).reshape(h * w, self.num_z, 3)
 
+    use_can_bus: bool = True
+    can_bus_norm: bool = True
+    rotate_prev_bev: bool = True
+    use_shift: bool = True
+
     @nn.compact
     def __call__(self, img_feats, spatial_shapes, lidar2img, img_size,
-                 prev_bev=None, query_pos=None):
+                 prev_bev=None, query_pos=None, can_bus=None):
         """img_feats: [B, N_cam, sum(HW), C]; lidar2img: [B, N_cam, 3, 4]
         (P @ Tr); img_size: (H, W) of the raw image; query_pos: optional
         [Q, C] positional embedding added to the initial BEV queries
-        (the reference's ``bev_pos``, bevocc_head.py:530-533)."""
+        (the reference's ``bev_pos``, bevocc_head.py:530-533); can_bus:
+        optional [B, 18] ego signals (delta pos in [0:2], yaw in [-2],
+        frame-to-frame rotation in [-1] degrees) enabling the reference's
+        temporal conditioning (transformer.py:121-161): prev_bev rotation +
+        ego-motion-shifted temporal sampling + can_bus MLP query bias."""
         b, n_cam = img_feats.shape[:2]
         h, w = self.bev_shape
         q = h * w
@@ -197,6 +292,29 @@ class OccupancyEncoder(nn.Module):
         query = jnp.broadcast_to(
             queries[None], (b, q, self.embed_dim)
         ).astype(img_feats.dtype)
+
+        shift = jnp.zeros((b, 2), jnp.float32)
+        if can_bus is not None:
+            can_bus = can_bus.astype(jnp.float32)
+            grid_length = (
+                (self.pc_range[4] - self.pc_range[1]) / h,
+                (self.pc_range[3] - self.pc_range[0]) / w,
+            )
+            shift = ego_motion_shift(
+                can_bus, self.bev_shape, grid_length, self.use_shift
+            )
+            if prev_bev is not None and self.rotate_prev_bev:
+                prev_bev = rotate_bev(
+                    prev_bev, can_bus[:, -1], self.bev_shape
+                )
+            if self.use_can_bus:
+                y = nn.relu(nn.Dense(
+                    self.embed_dim, name="can_bus_mlp1")(can_bus))
+                y = nn.relu(nn.Dense(
+                    self.embed_dim, name="can_bus_mlp2")(y))
+                if self.can_bus_norm:
+                    y = nn.LayerNorm(name="can_bus_norm")(y)
+                query = query + y[:, None, :].astype(query.dtype)
 
         # project pillar points into each camera
         pts = jnp.asarray(self.ref_pillar_points())  # [Q, Z, 3]
@@ -221,7 +339,7 @@ class OccupancyEncoder(nn.Module):
             query = OccupancyEncoderLayer(
                 self.embed_dim, num_z=self.num_z, name=f"layer{i}"
             )(query, self.bev_shape, img_feats, spatial_shapes, ref_img,
-              mask, prev_bev=prev_bev)
+              mask, prev_bev=prev_bev, shift=shift)
         return query  # [B, Q, C]
 
 

@@ -202,15 +202,23 @@ class BEVFormerDetector(nn.Module):
 
     @nn.compact
     def __call__(self, img_feats, spatial_shapes, lidar2img, img_size,
-                 prev_bev=None):
-        """img_feats: [B, N_cam, sum(HW), C_in]; lidar2img: [B, N_cam, 3, 4].
-        Returns the head output dict plus the BEV memory."""
+                 prev_bev=None, can_bus=None, only_bev: bool = False):
+        """img_feats: [B, N_cam, sum(HW), C_in]; lidar2img: [B, N_cam, 3, 4];
+        can_bus: optional [B, 18] ego signals (temporal conditioning, ref
+        transformer.py:121-161). ``only_bev=True`` runs the encoder only and
+        returns the BEV memory (the reference's
+        ``pts_bbox_head(..., only_bev=True)`` used to build the history
+        queue, ref bevformer.py:178-180). Otherwise returns the head output
+        dict plus the BEV memory."""
         feats = nn.Dense(self.embed_dim, name="input_proj")(img_feats)
         bev = OccupancyEncoder(
             embed_dim=self.embed_dim, num_layers=self.num_encoder_layers,
             bev_shape=self.bev_shape, pc_range=self.pc_range,
             name="bev_encoder",
-        )(feats, spatial_shapes, lidar2img, img_size, prev_bev=prev_bev)
+        )(feats, spatial_shapes, lidar2img, img_size, prev_bev=prev_bev,
+          can_bus=can_bus)
+        if only_bev:
+            return bev
         out = BEVFormerHead(
             num_classes=self.num_classes, num_query=self.num_query,
             embed_dim=self.embed_dim,
@@ -219,6 +227,92 @@ class BEVFormerDetector(nn.Module):
         )(bev, self.bev_shape)
         out["bev_embed"] = bev
         return out
+
+
+def obtain_history_bev(
+    model: "BEVFormerDetector",
+    variables,
+    feats_queue,
+    spatial_shapes,
+    lidar2img_queue,
+    img_size,
+    can_bus_queue=None,
+    prev_bev_exists=None,
+):
+    """Iteratively encode a queue of past frames into the history BEV.
+
+    Reference semantics (bevformer/detectors/bevformer.py:163-181
+    ``obtain_history_bev``): frames run encoder-only (``only_bev``) without
+    gradients, each frame attending to the previous frame's BEV;
+    ``prev_bev_exists=False`` truncates the chain at scene boundaries.
+
+    Args:
+      feats_queue: [B, T, N_cam, sum(HW), C] image features of past frames.
+      lidar2img_queue: [B, T, N_cam, 3, 4].
+      can_bus_queue: optional [B, T, 18].
+      prev_bev_exists: optional [T] python bools/np array; frame t with
+        False resets prev_bev (static under jit — queue composition is
+        data-layout, not traced).
+    Returns: [B, Q, C] history BEV (stop_gradient applied).
+    """
+    t_len = feats_queue.shape[1]
+    prev_bev = None
+    for t in range(t_len):
+        if prev_bev_exists is not None and not bool(prev_bev_exists[t]):
+            prev_bev = None
+        prev_bev = model.apply(
+            variables,
+            feats_queue[:, t],
+            spatial_shapes,
+            lidar2img_queue[:, t],
+            img_size,
+            prev_bev=prev_bev,
+            can_bus=None if can_bus_queue is None else can_bus_queue[:, t],
+            only_bev=True,
+        )
+        prev_bev = jax.lax.stop_gradient(prev_bev)
+    return prev_bev
+
+
+class PrevFrameInfo:
+    """Test-time temporal state across frames (host side, not jitted).
+
+    Mirrors the reference's ``prev_frame_info`` bookkeeping
+    (ref: bevformer/detectors/bevformer.py:60-66, 245-275): the history BEV
+    resets at scene boundaries, and can_bus position/angle are converted to
+    frame-to-frame deltas before the model sees them (zeroed on the first
+    frame of a scene).
+    """
+
+    def __init__(self, video_test_mode: bool = True):
+        self.video_test_mode = video_test_mode
+        self.prev_bev = None
+        self.scene_token = None
+        self.prev_pos = None
+        self.prev_angle = None
+
+    def step(self, scene_token, can_bus):
+        """Returns (prev_bev, delta_can_bus) for this frame; call
+        ``update`` with the new BEV afterwards."""
+        can_bus = np.array(can_bus, dtype=np.float32, copy=True)
+        if scene_token != self.scene_token or not self.video_test_mode:
+            self.prev_bev = None
+        self.scene_token = scene_token
+        tmp_pos = can_bus[:3].copy()
+        tmp_angle = float(can_bus[-1])
+        if self.prev_bev is not None:
+            can_bus[:3] -= self.prev_pos
+            can_bus[-1] -= self.prev_angle
+        else:
+            can_bus[:3] = 0
+            can_bus[-1] = 0
+        self.prev_pos = tmp_pos
+        self.prev_angle = tmp_angle
+        return self.prev_bev, can_bus
+
+    def update(self, new_bev):
+        if self.video_test_mode:
+            self.prev_bev = new_bev
 
 
 def sigmoid_focal_loss(logits, targets_onehot, alpha=0.25, gamma=2.0):

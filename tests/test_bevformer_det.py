@@ -3,6 +3,7 @@ next-steps item 5): head/decoder shapes, iterative refinement, synthetic
 end-to-end train -> decode -> eval producing sane mAP/NDS."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -152,3 +153,137 @@ def test_detector_end_to_end_train_decode_eval():
     m = evaluate_detections(gts, preds, classes=classes)
     assert np.isfinite(m.mean_ap) and 0.0 <= m.mean_ap <= 1.0
     assert np.isfinite(m.nd_score) and 0.0 <= m.nd_score <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# temporal plumbing: history queue + can_bus conditioning
+# (ref bevformer/detectors/bevformer.py:163-275, modules/transformer.py:121-161)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_det():
+    from stereoscene_tpu.models.bevformer_det import BEVFormerDetector
+
+    return BEVFormerDetector(
+        num_classes=3, num_query=8, embed_dim=32, bev_shape=(8, 8),
+        num_encoder_layers=1, num_decoder_layers=1,
+    )
+
+
+def _tiny_inputs(rng, b=1, t=None):
+    n_cam, hw, c = 2, 12, 16
+    shape = (b, t, n_cam, hw, c) if t else (b, n_cam, hw, c)
+    feats = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    l2i_shape = (b, t, n_cam, 3, 4) if t else (b, n_cam, 3, 4)
+    l2i = jnp.asarray(
+        np.broadcast_to(
+            np.array([[100.0, 0, 50, 0], [0, 100, 30, 0], [0, 0, 1, 0]]),
+            l2i_shape,
+        ).copy()
+    )
+    return feats, [(3, 4)], l2i, (60, 100)
+
+
+def test_rotate_bev_quarter_turn():
+    from stereoscene_tpu.models.bevformer import rotate_bev
+
+    g = np.zeros((1, 8, 8, 3), np.float32)
+    g[0, 1, 2] = 1.0
+    out = rotate_bev(
+        jnp.asarray(g.reshape(1, 64, 3)), jnp.asarray([90.0]), (8, 8)
+    )
+    out = np.asarray(out).reshape(8, 8, 3)
+    # 90deg CCW about center (3.5, 3.5): (y-3.5, x-3.5)=(-2.5,-1.5) source
+    # for output position solving inverse map; just assert mass preserved
+    # at a single cell and moved off the original
+    assert out.sum() == pytest.approx(3.0, abs=1e-4)
+    assert out[1, 2].sum() < 1e-4
+    # rotating by 0 is identity
+    out0 = rotate_bev(
+        jnp.asarray(g.reshape(1, 64, 3)), jnp.asarray([0.0]), (8, 8)
+    )
+    np.testing.assert_allclose(np.asarray(out0).reshape(8, 8, 3), g[0],
+                               atol=1e-6)
+
+
+def test_ego_motion_shift_zero_for_static_ego():
+    from stereoscene_tpu.models.bevformer import ego_motion_shift
+
+    cb = np.zeros((2, 18), np.float32)
+    s = np.asarray(ego_motion_shift(jnp.asarray(cb), (8, 8), (1.0, 1.0)))
+    np.testing.assert_allclose(s, 0.0, atol=1e-7)
+    # pure +x translation with zero yaw: bev_angle = -atan2(0, dx) = 0
+    # -> shift_y = |d| / gl / h, shift_x = 0
+    cb[0, 0] = 2.0
+    s = np.asarray(ego_motion_shift(jnp.asarray(cb), (8, 8), (1.0, 1.0)))
+    assert s[0, 1] == pytest.approx(2.0 / 8)
+    assert s[0, 0] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_history_bev_queue_and_can_bus():
+    from stereoscene_tpu.models.bevformer_det import obtain_history_bev
+
+    rng = np.random.RandomState(0)
+    model = _tiny_det()
+    feats, shapes, l2i, img_size = _tiny_inputs(rng)
+    can_bus = jnp.asarray(rng.randn(1, 18).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), feats, shapes, l2i, img_size, can_bus=can_bus
+    )
+    # can_bus params exist
+    enc = variables["params"]["bev_encoder"]
+    assert "can_bus_mlp1" in enc and "can_bus_norm" in enc
+
+    featsq, shapes, l2iq, img_size = _tiny_inputs(rng, t=3)
+    cbq = jnp.asarray(rng.randn(1, 3, 18).astype(np.float32))
+    hist = obtain_history_bev(
+        model, variables, featsq, shapes, l2iq, img_size,
+        can_bus_queue=cbq, prev_bev_exists=[False, True, True],
+    )
+    assert hist.shape == (1, 64, 32)
+    assert bool(jnp.all(jnp.isfinite(hist)))
+
+    # full forward conditioned on the history + can_bus
+    out = model.apply(
+        variables, feats, shapes, l2i, img_size, prev_bev=hist,
+        can_bus=can_bus,
+    )
+    assert out["all_cls_scores"].shape[-1] == 3
+    # the temporal signal changes the prediction
+    out_nohist = model.apply(variables, feats, shapes, l2i, img_size)
+    assert not np.allclose(
+        np.asarray(out["all_cls_scores"]),
+        np.asarray(out_nohist["all_cls_scores"]),
+    )
+
+
+def test_prev_frame_info_semantics():
+    """Scene reset + can_bus delta computation
+    (ref bevformer.py:245-275 forward_test)."""
+    from stereoscene_tpu.models.bevformer_det import PrevFrameInfo
+
+    info = PrevFrameInfo(video_test_mode=True)
+    cb1 = np.arange(18, dtype=np.float32)
+    prev, d1 = info.step("sceneA", cb1)
+    assert prev is None
+    np.testing.assert_allclose(d1[:3], 0)
+    assert d1[-1] == 0
+    info.update("BEV1")
+
+    cb2 = cb1 + 1.0
+    prev, d2 = info.step("sceneA", cb2)
+    assert prev == "BEV1"
+    np.testing.assert_allclose(d2[:3], 1.0)
+    assert d2[-1] == pytest.approx(1.0)
+
+    # scene change resets history and deltas
+    prev, d3 = info.step("sceneB", cb2)
+    assert prev is None
+    np.testing.assert_allclose(d3[:3], 0)
+
+    # video_test_mode off never retains BEV
+    info2 = PrevFrameInfo(video_test_mode=False)
+    info2.step("s", cb1)
+    info2.update("X")
+    prev, _ = info2.step("s", cb1)
+    assert prev is None

@@ -385,3 +385,58 @@ def test_waymo_box_to_kitti_row():
     assert waymo_box_to_kitti_row(
         np.zeros(3), np.ones(3), 0.0, 3, t
     ) is None
+
+
+def test_kitti2waymo_inverts_waymo2kitti():
+    """kitti_box_to_waymo (core/evaluation/kitti2waymo.py:106-160) must
+    invert waymo_box_to_kitti_row (waymo_converter.py:253-330) up to the
+    axis conventions."""
+    from stereoscene_tpu.core.kitti2waymo import (
+        KITTI_TO_WAYMO_TYPE, kitti_box_to_waymo,
+        kitti_result_to_waymo_objects,
+    )
+    from tools.data_converter.waymo_converter import waymo_box_to_kitti_row
+
+    rng = np.random.RandomState(9)
+    t_velo_to_cam = np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1.0]]
+    )
+    t_k2w = np.linalg.inv(t_velo_to_cam)
+    for _ in range(5):
+        center = rng.rand(3) * 30
+        lwh = rng.rand(3) * 3 + 0.5
+        heading = float(rng.uniform(-np.pi, np.pi))
+        row = waymo_box_to_kitti_row(
+            center, lwh, heading, 1, t_velo_to_cam
+        )
+        h, w, l = row["hwl"]
+        back = kitti_box_to_waymo(
+            row["name"], np.array([l, h, w]), np.array(row["xyz"]),
+            row["rotation_y"], 0.9, t_k2w,
+        )
+        np.testing.assert_allclose(
+            [back["center_x"], back["center_y"], back["center_z"]],
+            center, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            [back["length"], back["width"], back["height"]], lwh, atol=1e-4
+        )
+        wrapped = (back["heading"] - heading + np.pi) % (2 * np.pi) - np.pi
+        assert abs(wrapped) < 1e-3
+        assert back["type"] == KITTI_TO_WAYMO_TYPE["Car"] == 1
+
+    objs = kitti_result_to_waymo_objects(
+        {
+            "name": np.array(["Car", "Cyclist"]),
+            "dimensions": rng.rand(2, 3) + 1,
+            "location": rng.rand(2, 3) * 10,
+            "rotation_y": rng.rand(2),
+            "score": np.array([0.5, 0.25]),
+            "sample_idx": np.array(["0001000", "0001000"]),
+        },
+        t_k2w, "ctx", 123456,
+    )
+    assert len(objs) == 2
+    assert objs[0]["context_name"] == "ctx"
+    assert objs[1]["frame_timestamp_micros"] == 123456
+    assert objs[1]["type"] == 4  # TYPE_CYCLIST

@@ -61,3 +61,48 @@ def test_nuscenes_index_and_pipeline(nusc_fixture):
     np.testing.assert_allclose(
         sample["post_rots"][0][0, 0], 704.0 / 1600.0, rtol=1e-5
     )
+
+
+def test_attribute_error_aae():
+    """AAE (ref nuscnes_eval.py:661 / devkit attr_acc): 1 - attribute
+    accuracy over matched TPs, NaN-skipping empty-attribute GTs, and the
+    NDS denominator grows to the full 10 with attributes on."""
+    from stereoscene_tpu.core.nuscenes_eval import (
+        DetBox, evaluate_detections, attr_acc,
+    )
+
+    def box(tok, x, name, score=-1.0, attr=""):
+        return DetBox(
+            sample_token=tok, translation=np.array([x, 0.0, 0.0]),
+            size=np.array([2.0, 2.0, 2.0]), yaw=0.0,
+            velocity=np.zeros(2), detection_name=name, score=score,
+            attribute_name=attr,
+        )
+
+    # attr_acc semantics
+    g = box("s", 0, "car", attr="vehicle.moving")
+    p = box("s", 0, "car", 0.9, attr="vehicle.moving")
+    assert attr_acc(g, p) == 1.0
+    p2 = box("s", 0, "car", 0.9, attr="vehicle.parked")
+    assert attr_acc(g, p2) == 0.0
+    g_empty = box("s", 0, "car", attr="")
+    assert np.isnan(attr_acc(g_empty, p))
+
+    gts = [box("s1", 0, "car", attr="vehicle.moving"),
+           box("s2", 10, "car", attr="vehicle.moving")]
+    # perfect detections, one attribute wrong
+    preds = [box("s1", 0.01, "car", 0.95, attr="vehicle.moving"),
+             box("s2", 10.01, "car", 0.90, attr="vehicle.parked")]
+    m = evaluate_detections(gts, preds, classes=("car",),
+                            with_attributes=True)
+    assert "attr_err" in m.tp_errors
+    assert 0.0 < m.tp_errors["attr_err"] < 1.0
+    # denominator: 5*mAP + 5 TP scores over 10
+    expected = (5 * m.mean_ap + sum(
+        1 - min(1, m.tp_errors[k]) for k in m.tp_errors
+    )) / 10.0
+    assert m.nd_score == pytest.approx(expected)
+
+    # without attributes: old 4-metric behavior preserved
+    m4 = evaluate_detections(gts, preds, classes=("car",))
+    assert "attr_err" not in m4.tp_errors

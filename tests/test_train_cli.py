@@ -101,3 +101,41 @@ def test_train_and_test_cli(fixture_tree, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "semkitti_SC_IoU" in r.stdout
     assert "semkitti_combined_IoU" in r.stdout
+
+
+def test_cfg_options_deep_override(tmp_path):
+    """--cfg-options key.path=value semantics (ref tools/train.py:69-78 /
+    mmcv Config.merge_from_dict)."""
+    from stereoscene_tpu.config import Config, merge_from_options
+
+    cfg = Config({
+        "model": {"img_backbone": {"arch": "b7", "out_indices": (2, 3)}},
+        "data": {"samples_per_gpu": 1},
+        "grid_config": {"dbound": [2.0, 58.0, 0.5]},
+    })
+    merge_from_options(cfg, [
+        "model.img_backbone.arch=b0",
+        "data.samples_per_gpu=4",
+        "model.img_backbone.with_cp=true",
+        "grid_config.dbound.2=1.0",
+        "optimizer.lr=1e-4",
+        "model.img_backbone.out_indices=0,1,2",
+    ])
+    assert cfg["model"]["img_backbone"]["arch"] == "b0"
+    assert cfg["data"]["samples_per_gpu"] == 4
+    assert cfg["model"]["img_backbone"]["with_cp"] is True
+    assert cfg["grid_config"]["dbound"] == [2.0, 58.0, 1.0]
+    assert cfg["optimizer"]["lr"] == 1e-4
+    assert cfg["model"]["img_backbone"]["out_indices"] == (0, 1, 2)
+
+
+def test_cfg_options_cli_accepted(tiny_config_file=None):
+    """Both CLIs expose --cfg-options."""
+    import subprocess, sys
+
+    for tool in ("tools/train.py", "tools/test.py"):
+        out = subprocess.run(
+            [sys.executable, tool, "--help"], capture_output=True, text=True,
+            timeout=120,
+        )
+        assert "--cfg-options" in out.stdout, tool

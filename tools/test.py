@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate a stereoscene_tpu model")
     p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="+", default=None,
+                   help="deep config overrides, key.path=value "
+                        "(mmcv DictAction semantics, ref tools/train.py:69-78)")
     p.add_argument("--checkpoint", default=None,
                    help="orbax checkpoint dir (work_dir/ckpts)")
     p.add_argument("--split", default="val", choices=["val", "test", "test_submit"])
@@ -67,6 +70,10 @@ def main():
     from stereoscene_tpu.models.detector import BEVDepthOccupancy, DetectorConfig
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        from stereoscene_tpu.config import merge_from_options
+
+        merge_from_options(cfg, args.cfg_options)
     det_cfg = DetectorConfig.from_config(cfg)
     model = BEVDepthOccupancy(cfg=det_cfg)
 

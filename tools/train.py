@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser(description="Train a stereoscene_tpu model")
     p.add_argument("config")
+    p.add_argument("--cfg-options", nargs="+", default=None,
+                   help="deep config overrides, key.path=value "
+                        "(mmcv DictAction semantics, ref tools/train.py:69-78)")
     p.add_argument("--work-dir", default=None)
     p.add_argument("--resume-from", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -80,6 +83,10 @@ def main():
     from stereoscene_tpu.parallel.mesh import make_mesh
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        from stereoscene_tpu.config import merge_from_options
+
+        merge_from_options(cfg, args.cfg_options)
     work_dir = args.work_dir or os.path.join(
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
     )
