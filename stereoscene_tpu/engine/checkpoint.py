@@ -36,7 +36,16 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state, metrics: Optional[Dict[str, float]] = None):
+    def save(
+        self,
+        step: int,
+        state,
+        metrics: Optional[Dict[str, float]] = None,
+        wait: bool = True,
+    ):
+        """``wait=False`` leaves the orbax save running asynchronously —
+        used by the mid-epoch periodic saves so training never blocks on
+        I/O; epoch-end / preemption saves pass ``wait=True``."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -46,6 +55,10 @@ class CheckpointManager:
         self._mgr.save(
             step, args=ocp.args.StandardSave(payload), metrics=metrics or {}
         )
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
         self._mgr.wait_until_finished()
 
     def restore(self, state, step: Optional[int] = None):

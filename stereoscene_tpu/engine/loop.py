@@ -87,12 +87,20 @@ def run_training(
     trace_dir: Optional[str] = None,
     trace_steps: Tuple[int, int] = (10, 15),
     hooks: Optional[list] = None,
+    save_interval_steps: int = 0,
 ) -> TrainState:
     """``hooks``: callables ``(state, epoch, it, logs)`` run after every
     train step — the runner's custom-hook escape hatch (the reference's
     runner accepts arbitrary mmcv hooks, ref occupancy/apis/mmdet_train.py:
     180-192); see ``TransferWeightHook`` for the packaged equivalent of the
-    reference's TransferWeight."""
+    reference's TransferWeight.
+
+    Preemption safety (SURVEY §5's TPU-pool failure mode — the reference
+    only checkpoints per epoch): ``save_interval_steps > 0`` adds *async*
+    orbax saves every N steps, SIGTERM triggers a synchronous save before
+    returning, and resume restores the mid-epoch position — the first
+    resumed epoch skips the already-consumed leading batches so the
+    data-shard cursor lines up (deterministic per-epoch loader order)."""
     logger = JsonlLogger(os.path.join(work_dir, "train_log.jsonl"))
     tb = None
     if jax.process_index() == 0:
@@ -117,11 +125,26 @@ def run_training(
     rng = jax.random.PRNGKey(seed)
     steps_per_epoch = len(train_loader)
     start_epoch = int(start_step) // max(steps_per_epoch, 1)
+    skip_iters = int(start_step) % max(steps_per_epoch, 1)
+
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # non-main thread
+        prev_handler = None
 
     global_it = 0
     for epoch in range(start_epoch, max_epochs):
         t_epoch = time.time()
         for it, batch in enumerate(train_loader):
+            if epoch == start_epoch and it < skip_iters:
+                continue  # mid-epoch resume: realign the data cursor
             # XLA profiler trace window (the reference's record_time /
             # tb_trace profiler hook equivalent, SURVEY.md section 5)
             if trace_dir is not None and global_it == trace_steps[0]:
@@ -138,6 +161,22 @@ def run_training(
                 logs["step_time_s"] = time.perf_counter() - t0
             for hook in hooks or ():
                 hook(state, epoch, it, logs)
+            if (
+                save_interval_steps
+                and int(state.step) % save_interval_steps == 0
+            ):
+                ckpt.save(int(state.step), state, wait=False)
+            if preempted["flag"]:
+                ckpt.save(int(state.step), state)
+                logger.log({
+                    "epoch": epoch, "iter": it,
+                    "preempted_at_step": int(state.step),
+                })
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                if tb is not None:
+                    tb.close()
+                return state
             if it % log_interval == 0:
                 host_logs = jax.device_get(logs)
                 logger.log({"epoch": epoch, "iter": it, **host_logs})
@@ -169,6 +208,9 @@ def run_training(
         logger.log(
             {"epoch": epoch, "epoch_time_s": time.time() - t_epoch}
         )
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
+    ckpt.wait()
     if tb is not None:
         tb.close()
     return state

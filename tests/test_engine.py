@@ -133,3 +133,73 @@ def test_transfer_weight_hook():
     assert h.eval_params == {"w": 1}
     h(S({"w": 3}), 0, 2, {})
     assert h.eval_params == {"w": 3}
+
+
+def test_preemption_checkpoint_and_midepoch_resume(tmp_path):
+    """SIGTERM mid-epoch saves the current step; a fresh run restores it
+    and realigns the data cursor so no batch is replayed or lost (SURVEY §5
+    preemption mode; the reference saves only at epoch end)."""
+    import signal
+
+    import optax
+    from flax import linen as nn
+
+    from stereoscene_tpu.engine.loop import run_training
+    from stereoscene_tpu.engine.train import TrainState
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1)(x)
+
+    model = Lin()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)))
+    tx = optax.sgd(0.01)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats={}, opt_state=tx.init(variables["params"]), tx=tx,
+        )
+
+    seen = []
+
+    def train_step(state, batch, rng):
+        def loss_fn(p):
+            return jnp.mean((model.apply({"params": p}, batch["x"]) - 1.0) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss_total": loss,
+                                              "tag": batch["tag"][0]}
+
+    class Loader(list):
+        pass
+
+    loader = Loader(
+        {"x": np.full((2, 3), i, np.float32),
+         "tag": np.array([i], np.int32)} for i in range(10)
+    )
+
+    def record(state, epoch, it, logs):
+        seen.append(int(logs["tag"]))
+        if len(seen) == 5:  # preempt mid-epoch
+            signal.raise_signal(signal.SIGTERM)
+
+    wd = str(tmp_path / "wd")
+    state = run_training(
+        model, fresh_state(), train_step, loader, work_dir=wd,
+        max_epochs=1, eval_interval=100, save_interval_steps=2,
+        hooks=[record],
+    )
+    assert int(state.step) == 5
+    assert seen == [0, 1, 2, 3, 4]
+
+    # resume: restores step 5, skips batches 0-4, finishes the epoch
+    resumed = []
+    state2 = run_training(
+        model, fresh_state(), train_step, loader, work_dir=wd,
+        max_epochs=1, eval_interval=100,
+        hooks=[lambda s, e, i, logs: resumed.append(int(logs["tag"]))],
+    )
+    assert resumed == [5, 6, 7, 8, 9]
+    assert int(state2.step) == 10

@@ -35,6 +35,8 @@ def parse_args():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 forward/backward with fp32 master params "
                         "(the reference's fp16 path)")
+    p.add_argument("--save-interval-steps", type=int, default=0,
+                   help="async orbax checkpoint every N steps (preemption safety; 0 = epoch-end only)")
     p.add_argument("--trace-dir", default=None,
                    help="write an XLA profiler trace for steps 10-15")
     p.add_argument("--max-epochs", type=int, default=None)
@@ -243,6 +245,7 @@ def main():
         seed=args.seed,
         profile=args.profile,
         trace_dir=args.trace_dir,
+        save_interval_steps=args.save_interval_steps,
     )
 
 
