@@ -49,6 +49,11 @@ class DetectorConfig:
     zbound: Tuple[float, float, float] = (-2.0, 4.4, 0.8)
     dbound: Tuple[float, float, float] = (2.0, 58.0, 0.5)
 
+    # remat the voxel-side encoder/neck (jax.checkpoint) — needed for the
+    # high-res spatially-sharded training variant to fit HBM (the reference
+    # only checkpoints the image backbone, with_cp)
+    bev_with_cp: bool = False
+
     backbone_arch: str = "b7"
     backbone_out_indices: Tuple[int, ...] = (2, 3, 4, 5, 6)
     backbone_drop_path_rate: float = 0.2
@@ -157,7 +162,11 @@ class BEVDepthOccupancy(nn.Module):
             out_channels=cfg.neck_out_channels,
             upsample_strides=cfg.neck_upsample_strides,
         )
-        self.img_view_transformer = ViewTransformerLiftSplatShootVoxel(
+        vt_cls = (
+            nn.remat(ViewTransformerLiftSplatShootVoxel, static_argnums=(7,))
+            if cfg.bev_with_cp else ViewTransformerLiftSplatShootVoxel
+        )
+        self.img_view_transformer = vt_cls(
             num_depth=cfg.num_depth,
             numC_input=sum(cfg.neck_out_channels),
             numC_Trans=cfg.numC_Trans,
@@ -165,7 +174,15 @@ class BEVDepthOccupancy(nn.Module):
             grid_shape=cfg.grid_shape,
             attention_chunk=cfg.attention_chunk,
         )
-        self.img_bev_encoder_backbone = CustomResNet3D(
+        resnet3d_cls = (
+            nn.remat(CustomResNet3D, static_argnums=(2,))
+            if cfg.bev_with_cp else CustomResNet3D
+        )
+        fpn3d_cls = (
+            nn.remat(SECONDFPN3D, static_argnums=(2,))
+            if cfg.bev_with_cp else SECONDFPN3D
+        )
+        self.img_bev_encoder_backbone = resnet3d_cls(
             depth=cfg.resnet_depth,
             num_stage=len(cfg.voxel_channels),
             block_inplanes=cfg.voxel_channels,
@@ -177,7 +194,7 @@ class BEVDepthOccupancy(nn.Module):
             crp3d=cfg.crp3d,
             crp_mega_shape=cfg.crp_mega_shape,
         )
-        self.img_bev_encoder_neck = SECONDFPN3D(
+        self.img_bev_encoder_neck = fpn3d_cls(
             in_channels=cfg.voxel_channels,
             out_channels=cfg.voxel_out_channels,
             upsample_strides=cfg.fpn3d_upsample_strides,
@@ -246,22 +263,25 @@ class BEVDepthOccupancy(nn.Module):
             ranks = (batch["splat_order"], batch["splat_ranks"])
         else:
             ranks = self.compute_ranks(batch)
+        # train positional: nn.remat(static_argnums) ignores keyword args
         return self.img_view_transformer(
             feat_left, feat_right, mlp[:, 0], mlp[:, 1], batch["calib"],
-            ranks, train=train,
+            ranks, train,
         )
 
     # ---- stage 3: 3D encoder + head (ref :62-81) ----
     def bev_encode(self, voxel_feat, train: bool = False, points=None,
                    img_feats=None, points_uv=None):
+        # train passed positionally: nn.remat(static_argnums) does not see
+        # keyword args
         if self.cfg.crp3d:
             voxel_outs, crp_logits = self.img_bev_encoder_backbone(
-                voxel_feat, train=train
+                voxel_feat, train
             )
         else:
-            voxel_outs = self.img_bev_encoder_backbone(voxel_feat, train=train)
+            voxel_outs = self.img_bev_encoder_backbone(voxel_feat, train)
             crp_logits = None
-        fused = self.img_bev_encoder_neck(voxel_outs, train=train)
+        fused = self.img_bev_encoder_neck(voxel_outs, train)
         head_out = self.pts_bbox_head(
             [fused], points=points, img_feats=img_feats,
             points_uv=points_uv, train=train,

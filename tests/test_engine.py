@@ -82,15 +82,15 @@ def test_warmup_schedule_mmcv_semantics():
     """Linear warmup: lr * (1 - (1 - i/W)(1 - ratio)), reaching base lr at
     step W (mmcv LrUpdaterHook warmup='linear')."""
     sched = step_lr_schedule(
-        1e-3, steps_per_epoch=10, milestones=(2,), warmup_steps=100,
+        1e-3, steps_per_epoch=10, milestones=(50,), warmup_steps=100,
         warmup_ratio=0.1,
     )
     assert float(sched(0)) == pytest.approx(1e-4)
     assert float(sched(50)) == pytest.approx(1e-3 * (1 - 0.5 * 0.9))
     assert float(sched(100)) == pytest.approx(1e-3)
-    # decay still applies after milestone epoch 2 (step 20 < warmup, so the
-    # product of the two is in effect)
-    assert float(sched(150)) == pytest.approx(1e-4)
+    # step decay (milestone epoch 50 -> step 500) composes with the
+    # completed warmup
+    assert float(sched(600)) == pytest.approx(1e-4)
 
 
 def test_grad_accumulation_multisteps():

@@ -57,6 +57,7 @@ def main():
         xbound=(hr_full.xbound[0],
                 hr_full.xbound[0] + step_x * x_slice, step_x),
         backbone_with_cp=args.train,  # remat for training, off for inference
+        bev_with_cp=args.train,  # voxel-side remat: highres bwd needs it
     )
     assert cfg.grid_shape == (x_slice, y, z), cfg.grid_shape
     print(
@@ -112,7 +113,8 @@ def main():
 
         state = create_train_state(model, variables, steps_per_epoch=10)
         train_step = make_train_step(
-            model, LossConfig(downsample=cfg.downsample, dbound=cfg.dbound)
+            model, LossConfig(downsample=cfg.downsample, dbound=cfg.dbound),
+            bf16=args.bf16,  # the highres config trains in bf16 compute
         )
         jitted = jax.jit(train_step, donate_argnums=(0,))
         rng = jax.random.PRNGKey(0)
