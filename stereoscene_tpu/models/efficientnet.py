@@ -214,13 +214,17 @@ def _use_safe_depthwise_vjp(requested: "bool | None") -> bool:
     The XLA grouped-conv kernel-gradient bug this guards against only
     manifests on *multi-axis* meshes with partially replicated operands —
     single-device and single-axis data-parallel gradients are correct
-    through the standard path. The custom backward additionally triggers a
-    TPU device fault when embedded in the full detector backward on the
-    current single-chip libtpu (bisected: encoder-only grad is fine, full
-    graph faults), so callers that know a spatial mesh axis is active pass
-    ``requested=True`` (BEVDepthOccupancy does when a voxel_constraint is
-    set); ``requested=None`` falls back to the >1-devices heuristic.
-    STEREOSCENE_DW_SAFE_VJP=0/1 overrides everything.
+    through the standard path (modulo the conv-transpose lowering's reduced
+    f32 accuracy, ~2e-3 relative, measured in tools/probe_dwgrad.py; the
+    safe backward is exact to ~5e-7). Callers that know a spatial mesh axis
+    is active pass ``requested=True`` (BEVDepthOccupancy does when a
+    voxel_constraint is set); ``requested=None`` falls back to the
+    >1-devices heuristic. STEREOSCENE_DW_SAFE_VJP=0/1 overrides everything.
+
+    History: the round-2 K^2 strided-slice backward faulted the TPU worker
+    inside the full detector backward; the current grouped-conv dK
+    formulation (see ``_dw_bwd``) runs clean on the chip (round 3,
+    bench_train with DW_SAFE_VJP=1: 422 ms/step, no fault).
     """
     mode = os.environ.get("STEREOSCENE_DW_SAFE_VJP", "auto")
     if mode == "1":
@@ -257,26 +261,31 @@ def _dw_bwd(stride, padding, res, dy):
     _, vjp_x = jax.vjp(lambda t: _dw_raw(t, kernel, stride, padding), x)
     (dx,) = vjp_x(dy)
     kh, kw = kernel.shape[:2]
+    b, h, w, c = x.shape
     oh, ow = dy.shape[1], dy.shape[2]
-    xp = jnp.pad(x, ((0, 0), padding[0], padding[1], (0, 0)))
-    dyf = dy.astype(jnp.float32)
-    rows = []
-    for i in range(kh):
-        cols = []
-        for j in range(kw):
-            patch = jax.lax.slice(
-                xp,
-                (0, i, j, 0),
-                (xp.shape[0], i + (oh - 1) * stride + 1,
-                 j + (ow - 1) * stride + 1, xp.shape[3]),
-                (1, stride, stride, 1),
-            )
-            cols.append(
-                jnp.sum(patch.astype(jnp.float32) * dyf, axis=(0, 1, 2))
-            )
-        rows.append(jnp.stack(cols))
-    dk = jnp.stack(rows)[:, :, None, :].astype(kernel.dtype)
-    return dx, dk
+    # dK as a *forward-style* feature-grouped conv with dy as the kernel
+    # (batch folded into the groups):
+    #   dK[i,j,c] = sum_{b,oh,ow} xpad[b, i+oh*s, j+ow*s, c] * dy[b,oh,ow,c]
+    # i.e. correlate x with dy at dilation=stride. This op class partitions
+    # correctly under GSPMD (it's the same primitive signature as every
+    # forward depthwise in the net), is exact in f32 with HIGHEST precision
+    # (XLA's auto-transposed batch-grouped conv loses ~2e-3 relative), and
+    # avoids the K^2 strided-slice backward that faulted the TPU worker
+    # inside the full detector backward (probed in tools/probe_dwgrad.py).
+    lhs = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w, b * c)
+    rhs = jnp.transpose(dy, (1, 2, 0, 3)).reshape(oh, ow, 1, b * c)
+    out = jax.lax.conv_general_dilated(
+        lhs.astype(jnp.float32),
+        rhs.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding=padding,
+        rhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dk = out.reshape(kh, kw, b, c).sum(axis=2)[:, :, None, :]
+    return dx, dk.astype(kernel.dtype)
 
 
 depthwise_conv2d.defvjp(_dw_fwd, _dw_bwd)
