@@ -170,6 +170,7 @@ class BEVDepthOccupancy(nn.Module):
             num_depth=cfg.num_depth,
             numC_input=sum(cfg.neck_out_channels),
             numC_Trans=cfg.numC_Trans,
+            with_cp=cfg.bev_with_cp,
             cam_channels=cfg.cam_channels,
             grid_shape=cfg.grid_shape,
             attention_chunk=cfg.attention_chunk,

@@ -22,6 +22,8 @@ checkpoint converter in utils/checkpoint_convert.py):
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Callable, Sequence, Tuple, Union
 
 import jax
@@ -89,6 +91,64 @@ class _ZPackConv3d(nn.Module):
         return y
 
 
+class _ZPackConv3dS2(nn.Module):
+    """Exact 3x3x3 stride-2 conv3d via depth-parity phase split.
+
+    y[do] = sum_kd conv2d_s2(xpad[2*do + kd], W[kd]); the padded depth index
+    2*do+kd has parity kd%2, so even slices feed taps {0,2} (one conv2d with
+    2*Co output channels) and odd slices feed tap 1 — zero wasted MACs,
+    identical tap algebra, and 2-3x the MXU lane occupancy of XLA's direct
+    conv3d at Co<=64 (probe_conv3d.py measured strided conv3d at the same
+    sub-peak rates as stride-1).
+
+    Parameter tree matches nn.Conv ('kernel' [3,3,3,Ci,Co], 'bias').
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 3, ci, co)
+        )
+        dtype = self.dtype or x.dtype
+        w = kernel.astype(dtype)
+        x = x.astype(dtype)
+        b, d, h, wd = x.shape[:4]
+        assert d % 2 == 0 and h % 2 == 0 and wd % 2 == 0, (d, h, wd)
+        do, ho, wo = d // 2, h // 2, wd // 2
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        # padded depth dp in [0, d+1]; even dp -> taps {0,2}, odd dp -> tap 1
+        xe = xp[:, 0::2]  # [b, do+1, h, w, ci]
+        xo = xp[:, 1::2]  # [b, do+1, h, w, ci]
+        w_even = jnp.concatenate([w[0], w[2]], axis=-1)  # [3,3,ci,2co]
+        w_odd = w[1]  # [3,3,ci,co]
+
+        def conv2d_s2(inp, ww):
+            n = inp.shape[0] * inp.shape[1]
+            z = jax.lax.conv_general_dilated(
+                inp.reshape(n, h, wd, ci), ww,
+                window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dtype,
+            )
+            return z.reshape(inp.shape[0], inp.shape[1], ho, wo, -1)
+
+        ze = conv2d_s2(xe, w_even)  # [b, do+1, ho, wo, 2co]
+        zo = conv2d_s2(xo, w_odd)   # [b, do+1, ho, wo, co]
+        # y[k] = ze[k, tap0] + zo[k, tap1] + ze[k+1, tap2]
+        y = (ze[:, :do, ..., :co] + zo[:, :do]
+             + ze[:, 1:do + 1, ..., co:])
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (co,))
+            y = y + bias.astype(dtype)
+        return y
+
+
 class ConvNd(nn.Module):
     """Torch-style convolution: integer padding means symmetric zero pad.
 
@@ -110,6 +170,22 @@ class ConvNd(nn.Module):
         if (
             self.ndim == 3
             and k == (3, 3, 3)
+            and s == (2, 2, 2)
+            and self.groups == 1
+            and not isinstance(self.padding, str)
+            and _tuple(self.padding, 3) == (1, 1, 1)
+            and all(dim % 2 == 0 for dim in x.shape[1:4])
+            and os.environ.get("STEREOSCENE_ZPACK_S2", "0") == "1"
+        ):
+            # depth-parity phase lowering for strided 3x3x3 convs (the
+            # hourglass encoder path); exact math, identical param tree
+            return _ZPackConv3dS2(
+                features=self.features, use_bias=self.use_bias,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+        if (
+            self.ndim == 3
+            and k == (3, 3, 3)
             and s == (1, 1, 1)
             and self.groups == 1
             and not isinstance(self.padding, str)
@@ -117,7 +193,9 @@ class ConvNd(nn.Module):
             # 64-ch convs win standalone (probe_conv3d 64->64 s1
             # 2.12 -> 1.36 ms) but a widened <=192 gate measured neutral
             # end-to-end (9.9 vs 10.0 fps, within run noise) — keep <=128
-            and 3 * self.features <= 128
+            # by default; STEREOSCENE_ZPACK_MAX overrides for experiments
+            and 3 * self.features
+            <= int(os.environ.get("STEREOSCENE_ZPACK_MAX", "128"))
         ):
             # MXU-lane-packing lowering for small-channel 3x3x3 convs;
             # exact math, identical param tree (see _ZPackConv3d).
@@ -215,8 +293,6 @@ class ConvTransposeTorch(nn.Module):
         dim_chars = "DHW"[-self.ndim:]
         spec = (f"N{dim_chars}C", f"{dim_chars}IO", f"N{dim_chars}C")
         dtype = self.dtype or x.dtype
-
-        import os
 
         # Subpixel phase-decomposition is exact and wins per-op in isolation
         # (probe_deconv.py), but in the full graph the depth-to-space

@@ -32,6 +32,11 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
     cam_channels: int = 30
     grid_shape: Tuple[int, int, int] = (128, 128, 16)
     attention_chunk: int = 1024
+    # fine-grained remat: checkpoint each hourglass / MIE block so the
+    # backward recomputes one block at a time. Whole-stage remat alone
+    # leaves the peak inside this stage's own recompute (B=2 train OOM
+    # 17.71G/15.75G measured with stage-level remat only).
+    with_cp: bool = False
 
     @nn.compact
     def __call__(
@@ -50,6 +55,7 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
         stereo = GwcVolumeEncoder(
             max_disp=self.num_depth,
             cam_channels=self.cam_channels,
+            with_cp=self.with_cp,
             name="stereo_volume_net",
         )(feat_left, feat_right, mlp_left, mlp_right, calib, train=train)
         stereo_prob = stereo["single_channel"]  # [B, D, fH, fW]
@@ -70,9 +76,13 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
         ).transpose(0, 3, 1, 2).astype(feat_left.dtype)
 
         # MIE fusion (ref :508)
-        fused_prob = VolumeInteraction(
+        vi_cls = (
+            nn.remat(VolumeInteraction, static_argnums=(3,))
+            if self.with_cp else VolumeInteraction
+        )
+        fused_prob = vi_cls(
             attention_chunk=self.attention_chunk, name="volume_interaction"
-        )(stereo_prob, lss_prob, train=train)
+        )(stereo_prob, lss_prob, train)
 
         # fused lift + splat (ref :517-523); fp32 accumulate in the reduction
         if isinstance(ranks, tuple):

@@ -107,6 +107,7 @@ class GwcVolumeEncoder(nn.Module):
     feat_mid_channels: int = 128
     match_channels: int = 64
     cam_channels: int = 30
+    with_cp: bool = False  # remat each hourglass (B=2 training HBM fit)
 
     @nn.compact
     def __call__(
@@ -137,9 +138,14 @@ class GwcVolumeEncoder(nn.Module):
         res = ConvGN3d(c, 3, padding=1, name="dres1_1")(res)
         cost0 = res + cost0
 
-        out1 = Hourglass3D(c, name="dres2")(cost0, train=train)
-        out2 = Hourglass3D(c, name="dres3")(out1, train=train)
-        out3 = Hourglass3D(c, name="dres4")(out2, train=train)
+        hg_cls = (
+            nn.remat(Hourglass3D, static_argnums=(2,))
+            if self.with_cp else Hourglass3D
+        )
+        # train positional: nn.remat(static_argnums) ignores keyword args
+        out1 = hg_cls(c, name="dres2")(cost0, train)
+        out2 = hg_cls(c, name="dres3")(out1, train)
+        out3 = hg_cls(c, name="dres4")(out2, train)
 
         multi = nn.relu(
             ConvGN3d(self.out_channels, 3, padding=1, name="classif3_1")(out3)

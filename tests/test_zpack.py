@@ -1,0 +1,74 @@
+"""The MXU-lane-packing conv3d lowerings must match XLA's direct conv3d
+bit-for-bit in tap algebra (same FLOPs, same math, only the schedule
+differs): stride-1 depth-tap folding (_ZPackConv3d) and the stride-2
+depth-parity phase split (_ZPackConv3dS2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stereoscene_tpu.models.layers import Conv3d, _ZPackConv3dS2
+
+
+def _direct_conv3d(x, kernel, stride):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(stride,) * 3,
+        padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def test_zpack_s2_matches_direct():
+    rng = np.random.RandomState(0)
+    for (d, h, w, ci, co) in [(8, 6, 10, 4, 8), (6, 8, 8, 8, 3),
+                              (4, 4, 4, 2, 5)]:
+        x = jnp.asarray(rng.randn(2, d, h, w, ci).astype(np.float32))
+        mod = _ZPackConv3dS2(features=co, use_bias=True)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        ours = mod.apply(variables, x)
+        kernel = variables["params"]["kernel"]
+        bias = variables["params"]["bias"]
+        ref = _direct_conv3d(x, kernel, 2) + bias
+        assert ours.shape == ref.shape == (2, d // 2, h // 2, w // 2, co)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_conv3d_s2_gate_env(monkeypatch):
+    """With STEREOSCENE_ZPACK_S2=1 the Conv3d wrapper must produce the
+    identical param tree (Conv_0/kernel) and identical outputs."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 6, 10, 4).astype(np.float32))
+
+    def build_apply():
+        mod = Conv3d(8, 3, stride=2, padding=1)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        return mod.apply(v, x), jax.tree_util.tree_structure(v)
+
+    monkeypatch.delenv("STEREOSCENE_ZPACK_S2", raising=False)
+    y_off, tree_off = build_apply()
+    monkeypatch.setenv("STEREOSCENE_ZPACK_S2", "1")
+    y_on, tree_on = build_apply()
+    assert tree_off == tree_on
+    np.testing.assert_allclose(
+        np.asarray(y_off), np.asarray(y_on), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_conv3d_s2_gate_skips_odd_shapes(monkeypatch):
+    """Odd spatial dims must fall back to the direct lowering (the phase
+    split assumes even D/H/W)."""
+    monkeypatch.setenv("STEREOSCENE_ZPACK_S2", "1")
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 7, 6, 10, 4).astype(np.float32))
+    mod = Conv3d(8, 3, stride=2, padding=1)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(v, x)
+    kernel = v["params"]["Conv_0"]["kernel"]
+    bias = v["params"]["Conv_0"]["bias"]
+    ref = _direct_conv3d(x, kernel, 2) + bias
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )

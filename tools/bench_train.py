@@ -35,6 +35,10 @@ def main():
     p.add_argument("--with-cp", action="store_true", default=True,
                    help="remat the backbone blocks (training default)")
     p.add_argument("--no-with-cp", dest="with_cp", action="store_false")
+    p.add_argument("--bev-cp", action="store_true",
+                   help="also remat the voxel-side stack (bev_with_cp) -- "
+                        "needed for B=2 to fit HBM (B=2 with backbone-only "
+                        "remat: OOM 18.02G/15.75G, measured round 3)")
     args = p.parse_args()
 
     import jax
@@ -49,7 +53,8 @@ def main():
     )
     from stereoscene_tpu.models.detector import BEVDepthOccupancy, DetectorConfig
 
-    cfg = DetectorConfig(backbone_with_cp=args.with_cp)
+    cfg = DetectorConfig(backbone_with_cp=args.with_cp,
+                         bev_with_cp=args.bev_cp)
     model = BEVDepthOccupancy(cfg=cfg)
 
     for b in [int(x) for x in args.batches.split(",")]:
@@ -129,6 +134,7 @@ def main():
             "mfu": round(mfu, 4),
             "loss": round(loss, 4),
             "with_cp": args.with_cp,
+            "bev_cp": args.bev_cp,
         }), flush=True)
 
 
