@@ -15,11 +15,50 @@ DeformConv2dPack init), and fp32 normalization islands.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.deform_conv import deform_conv2d
 from .layers import BatchNorm, Conv2d, GroupNorm, Mlp, SELayer
+
+
+class _TapMatmulDilatedConv(nn.Module):
+    """3x3 dilated conv lowered as 9 shifted [B*H*W, Ci] x [Ci, Co] matmuls.
+
+    XLA lowers large-dilation convs through space-to-batch, which fragments
+    the spatial extent into d^2 tiny convs (~54 TF/s measured on the ASPP
+    branches, PERF.md); nine full-size MXU matmuls over shifted views of the
+    same padded input run at dense-matmul efficiency. Exact tap algebra
+    (pad-and-slice is the conv's own window walk); param tree matches
+    nn.Conv (['kernel'] of [3, 3, Ci, Co], no bias).
+    """
+
+    features: int
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, ci, self.features),
+        )
+        d = self.dilation
+        b, h, w, _ = x.shape
+        kern = kernel.astype(x.dtype)
+        xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+        out = None
+        for i in range(3):
+            for j in range(3):
+                sl = xp[:, i * d:i * d + h, j * d:j * d + w, :]
+                y = jnp.einsum(
+                    "bhwc,co->bhwo", sl, kern[i, j],
+                    preferred_element_type=jnp.float32,
+                )
+                out = y if out is None else out + y
+        return out.astype(x.dtype)
 
 
 class BasicBlock2d(nn.Module):
@@ -63,13 +102,22 @@ class ASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        tapmm = os.environ.get("STEREOSCENE_ASPP_TAPMM", "1") == "1"
         outs = []
         for i, (k, d) in enumerate([(1, 1), (3, 6), (3, 12), (3, 18)]):
             pad = 0 if k == 1 else d
-            y = nn.Conv(
-                self.mid_channels, (k, k), padding=[(pad, pad)] * 2,
-                kernel_dilation=(d, d), use_bias=False, name=f"aspp{i + 1}_conv",
-            )(x)
+            if k == 3 and tapmm:
+                # shifted-matmul lowering of the dilated branches (same
+                # param tree — see _TapMatmulDilatedConv)
+                y = _TapMatmulDilatedConv(
+                    self.mid_channels, dilation=d, name=f"aspp{i + 1}_conv"
+                )(x)
+            else:
+                y = nn.Conv(
+                    self.mid_channels, (k, k), padding=[(pad, pad)] * 2,
+                    kernel_dilation=(d, d), use_bias=False,
+                    name=f"aspp{i + 1}_conv",
+                )(x)
             y = BatchNorm(name=f"aspp{i + 1}_bn")(y, train=train)
             outs.append(nn.relu(y))
 

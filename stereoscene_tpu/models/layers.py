@@ -40,6 +40,107 @@ def _tuple(v, n):
     return (v,) * n
 
 
+def _plain_conv3d(x, w, stride):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,) * 3, padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def _zpack_s1_core(x, w):
+    """Stride-1 zpack lowering body (see _ZPackConv3d)."""
+    b, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    # [kd,kh,kw,ci,co] -> [kh,kw,ci, kd*co] (out-channel block g = kd)
+    w2 = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(3, 3, ci, 3 * co)
+    z = jax.lax.conv_general_dilated(
+        x.reshape(b * d, h, wd, ci), w2,
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    ).reshape(b, d, h, wd, 3, co)
+    zp = jnp.pad(z, ((0, 0), (1, 1)) + ((0, 0),) * 4)
+    # cross-correlation: y[d] = sum_kd z[d + kd - 1, g=kd]
+    return (zp[:, 0:d, ..., 0, :] + zp[:, 1:d + 1, ..., 1, :]
+            + zp[:, 2:d + 2, ..., 2, :])
+
+
+def _zpack_s2_core(x, w):
+    """Stride-2 depth-parity zpack lowering body (see _ZPackConv3dS2)."""
+    b, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    do, ho, wo = d // 2, h // 2, wd // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    xe = xp[:, 0::2]
+    xo = xp[:, 1::2]
+    w_even = jnp.concatenate([w[0], w[2]], axis=-1)
+    w_odd = w[1]
+
+    def conv2d_s2(inp, ww):
+        n = inp.shape[0] * inp.shape[1]
+        z = jax.lax.conv_general_dilated(
+            inp.reshape(n, h, wd, ci), ww,
+            window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
+        return z.reshape(inp.shape[0], inp.shape[1], ho, wo, -1)
+
+    ze = conv2d_s2(xe, w_even)
+    zo = conv2d_s2(xo, w_odd)
+    return (ze[:, :do, ..., :co] + zo[:, :do] + ze[:, 1:do + 1, ..., co:])
+
+
+def _make_zpack_op(core, stride):
+    """custom_vjp wrapper: zpack forward, plain-conv3d backward.
+
+    Two XLA:TPU miscompiles force this structure (round-3 on-chip bisect):
+    the zpack *autodiff* backward (conv2d dK over a B*D batch fused with
+    the pad/slice depth-shift grads) NaNs when chained with a GroupNorm —
+    even in full f32 — and a mathematically-identical plain-conv3d VJP
+    *also* NaNs whenever it shares one program with the zpack forward
+    (separate programs are finite). The ``optimization_barrier`` between
+    the residuals/cotangent and the backward convs blocks the bad fusion;
+    the backward additionally accumulates in f32 (a bf16
+    preferred_element_type dW over ~1M-term sums is rounding garbage).
+    Same fix family as the depthwise dK reformulation (efficientnet.py)."""
+
+    @jax.custom_vjp
+    def op(x, w):
+        # barrier the output as well: without it the zpack forward block
+        # fuses into surrounding *backward* ops (e.g. GroupNorm's) and the
+        # same NaN miscompile returns even with a correct custom bwd
+        return jax.lax.optimization_barrier(core(x, w))
+
+    def fwd(x, w):
+        return op(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        x, w, g = jax.lax.optimization_barrier((x, w, g))
+
+        def conv_f32(xx, ww):
+            # f32 island: the transposed convs then run/accumulate in f32
+            # and the grads round back to the param dtype at the converts
+            return jax.lax.conv_general_dilated(
+                xx.astype(jnp.float32), ww.astype(jnp.float32),
+                window_strides=(stride,) * 3,
+                padding=[(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        _, vjp = jax.vjp(conv_f32, x, w)
+        return vjp(g.astype(jnp.float32))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+_zpack_s1 = _make_zpack_op(_zpack_s1_core, 1)
+_zpack_s2 = _make_zpack_op(_zpack_s2_core, 2)
+
+
 class _ZPackConv3d(nn.Module):
     """Exact 3x3x3 stride-1 conv3d lowered as conv2d with the depth taps
     folded into output channels, plus a shift-add over depth.
@@ -70,21 +171,7 @@ class _ZPackConv3d(nn.Module):
             (3, 3, 3, ci, co),
         )
         dtype = self.dtype or x.dtype
-        w = kernel.astype(dtype)
-        x = x.astype(dtype)
-        b, d, h, wd = x.shape[:4]
-        # [kd,kh,kw,ci,co] -> [kh,kw,ci, kd*co] (out-channel block g = kd)
-        w2 = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(3, 3, ci, 3 * co)
-        z = jax.lax.conv_general_dilated(
-            x.reshape(b * d, h, wd, ci), w2,
-            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=dtype,
-        ).reshape(b, d, h, wd, 3, co)
-        zp = jnp.pad(z, ((0, 0), (1, 1)) + ((0, 0),) * 4)
-        # cross-correlation: y[d] = sum_kd z[d + kd - 1, g=kd]
-        y = (zp[:, 0:d, ..., 0, :] + zp[:, 1:d + 1, ..., 1, :]
-             + zp[:, 2:d + 2, ..., 2, :])
+        y = _zpack_s1(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (co,))
             y = y + bias.astype(dtype)
@@ -116,33 +203,9 @@ class _ZPackConv3dS2(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (3, 3, 3, ci, co)
         )
         dtype = self.dtype or x.dtype
-        w = kernel.astype(dtype)
-        x = x.astype(dtype)
-        b, d, h, wd = x.shape[:4]
+        d, h, wd = x.shape[1:4]
         assert d % 2 == 0 and h % 2 == 0 and wd % 2 == 0, (d, h, wd)
-        do, ho, wo = d // 2, h // 2, wd // 2
-        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-        # padded depth dp in [0, d+1]; even dp -> taps {0,2}, odd dp -> tap 1
-        xe = xp[:, 0::2]  # [b, do+1, h, w, ci]
-        xo = xp[:, 1::2]  # [b, do+1, h, w, ci]
-        w_even = jnp.concatenate([w[0], w[2]], axis=-1)  # [3,3,ci,2co]
-        w_odd = w[1]  # [3,3,ci,co]
-
-        def conv2d_s2(inp, ww):
-            n = inp.shape[0] * inp.shape[1]
-            z = jax.lax.conv_general_dilated(
-                inp.reshape(n, h, wd, ci), ww,
-                window_strides=(2, 2), padding=[(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=dtype,
-            )
-            return z.reshape(inp.shape[0], inp.shape[1], ho, wo, -1)
-
-        ze = conv2d_s2(xe, w_even)  # [b, do+1, ho, wo, 2co]
-        zo = conv2d_s2(xo, w_odd)   # [b, do+1, ho, wo, co]
-        # y[k] = ze[k, tap0] + zo[k, tap1] + ze[k+1, tap2]
-        y = (ze[:, :do, ..., :co] + zo[:, :do]
-             + ze[:, 1:do + 1, ..., co:])
+        y = _zpack_s2(x.astype(dtype), kernel.astype(dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (co,))
             y = y + bias.astype(dtype)

@@ -21,6 +21,8 @@ Volumes are [B, D, H, W, C] channels-last; all convs treat (D, H, W) as the
 
 from __future__ import annotations
 
+import os
+
 from typing import Dict
 
 import jax.numpy as jnp
@@ -28,6 +30,7 @@ from flax import linen as nn
 
 from ..geometry import disparity_positions
 from ..ops.gwc import groupwise_correlation_volume, warp_disparity_to_depth
+from ..ops.pallas_gwc import fused_gwc_warp
 from .layers import (
     BatchNorm,
     Conv2d,
@@ -125,11 +128,35 @@ class GwcVolumeEncoder(nn.Module):
         )(feats, mlps)
         ref_f, tgt_f = match[:b], match[b:]
 
-        vol = groupwise_correlation_volume(
-            ref_f, tgt_f, self.max_disp, self.num_groups
-        )
         pos = disparity_positions(calib, self.max_disp)
-        vol = warp_disparity_to_depth(vol, pos).astype(feat_left.dtype)
+        import jax
+
+        # Mosaic kernels don't lower on CPU; the gate defers to the unfused
+        # (math-identical) path when the computation is headed for a CPU
+        # device — including CPU-side init of a model that will run on TPU
+        # (jax.default_device context). Default "auto": on for single-device
+        # TPU (the bench/serving path); pallas_call partitioning under a
+        # real multi-chip GSPMD mesh is unvalidated in this environment, so
+        # multi-device runs keep the XLA pair unless forced with =1.
+        dd = jax.config.jax_default_device
+        on_cpu = (jax.default_backend() == "cpu"
+                  or (dd is not None and dd.platform == "cpu"))
+        gate = os.environ.get("STEREOSCENE_FUSED_GWC", "auto")
+        use_fused = gate == "1" or (gate == "auto"
+                                    and jax.device_count() == 1)
+        if use_fused and not on_cpu:
+            # single-pass Pallas kernel: reads the feature maps once, writes
+            # the warped volume once (ops/pallas_gwc.py); exact vs the
+            # unfused pair (tests/test_pallas_gwc.py)
+            vol = fused_gwc_warp(
+                ref_f, tgt_f, pos, self.max_disp, self.num_groups,
+                out_dtype=feat_left.dtype,
+            )
+        else:
+            vol = groupwise_correlation_volume(
+                ref_f, tgt_f, self.max_disp, self.num_groups
+            )
+            vol = warp_disparity_to_depth(vol, pos).astype(feat_left.dtype)
 
         c = self.num_groups
         cost0 = nn.relu(ConvGN3d(c, 3, padding=1, name="dres0_0")(vol))

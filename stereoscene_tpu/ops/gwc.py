@@ -80,6 +80,67 @@ def groupwise_correlation_volume(
     return vol.astype(dt).transpose(0, 2, 1, 3, 4)
 
 
+def disparity_warp_matrix(positions: jnp.ndarray, num_disp: int):
+    """The depth warp as an explicit [B, K, D] lerp matrix.
+
+    ``warp_disparity_to_depth`` is linear in the volume, so it is exactly
+    M @ vol with M[b, k, d] = w0*(d == i0) + w1*(d == i1) (grid_sample
+    zero padding, align_corners=True). Contracting over D on the MXU also
+    absorbs the H-major -> D-major relayout of the correlation volume that
+    the gather formulation needs as a separate transpose.
+    """
+    pos = positions.astype(jnp.float32)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = i0 + 1
+    w1 = pos - i0.astype(jnp.float32)
+    w0 = 1.0 - w1
+    w0 = w0 * ((i0 >= 0) & (i0 <= num_disp - 1)).astype(jnp.float32)
+    w1 = w1 * ((i1 >= 0) & (i1 <= num_disp - 1)).astype(jnp.float32)
+    d = jnp.arange(num_disp)[None, None, :]
+    return (w0[..., None] * (d == i0[..., None])
+            + w1[..., None] * (d == i1[..., None]))
+
+
+def gwc_warp_matmul(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    positions: jnp.ndarray,
+    max_disp: int,
+    num_groups: int,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Correlation volume + depth warp with the warp as one MXU matmul.
+
+    Equivalent to ``groupwise_correlation_volume`` (H-major internal
+    layout) followed by ``warp_disparity_to_depth``; the gather + transpose
+    pair is replaced by a [K, D] contraction (see disparity_warp_matrix).
+    Returns [B, K, H, W, G] in ``out_dtype`` (default: input dtype).
+    """
+    b, h, w, c = left.shape
+    assert c % num_groups == 0
+    cpg = c // num_groups
+    dt = out_dtype or left.dtype
+
+    disp = jnp.arange(max_disp)[:, None]
+    cols = jnp.arange(w)[None, :]
+    src = cols - disp
+    valid = (src >= 0).astype(jnp.float32)
+    src = jnp.clip(src, 0, w - 1)
+
+    right_shift = jnp.take(right, src.reshape(-1), axis=2)
+    right_shift = right_shift.reshape(b, h, max_disp, w, c)
+    prod = left[:, :, None].astype(jnp.float32) * right_shift.astype(
+        jnp.float32)
+    prod = prod.reshape(b, h, max_disp, w, num_groups, cpg)
+    vol = jnp.mean(prod, axis=-1) * valid[None, None, :, :, None]
+    mat = disparity_warp_matrix(positions, max_disp)
+    out = jnp.einsum(
+        "bkd,bhdwg->bkhwg", mat.astype(dt), vol.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(dt)
+
+
 def warp_disparity_to_depth(
     volume: jnp.ndarray, positions: jnp.ndarray
 ) -> jnp.ndarray:

@@ -72,3 +72,29 @@ def test_conv3d_s2_gate_skips_odd_shapes(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(ref), rtol=1e-4, atol=1e-5
     )
+
+
+def test_zpack_custom_vjp_grads_match_plain_conv3d():
+    """The zpack backward routes through the plain conv3d VJP (the zpack
+    autodiff backward is miscompiled by XLA:TPU — see layers._make_zpack_op);
+    both input and kernel grads must equal the plain lowering's."""
+    from stereoscene_tpu.models.layers import (
+        _plain_conv3d, _zpack_s1, _zpack_s2,
+    )
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 6, 10, 4).astype(np.float32))
+    w = jnp.asarray(0.2 * rng.randn(3, 3, 3, 4, 8).astype(np.float32))
+
+    for op, stride in ((_zpack_s1, 1), (_zpack_s2, 2)):
+        def loss(fn, xx, ww):
+            return jnp.sum(fn(xx, ww) ** 2)
+
+        gx, gw = jax.grad(lambda a, b: loss(op, a, b), argnums=(0, 1))(x, w)
+        px, pw = jax.grad(
+            lambda a, b: loss(lambda xx, ww: _plain_conv3d(xx, ww, stride),
+                              a, b), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(px),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(pw),
+                                   rtol=1e-4, atol=1e-4)
