@@ -92,6 +92,48 @@ def _zpack_s2_core(x, w):
     return (ze[:, :do, ..., :co] + zo[:, :do] + ze[:, 1:do + 1, ..., co:])
 
 
+def _dpack_s1_core(x, w):
+    """Stride-1 dpack lowering body (see _DPackConv3d): the 3 depth taps are
+    folded into *input* channels (one conv2d 3*Ci -> Co per depth slice)."""
+    b, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1)) + ((0, 0),) * 3)
+    # xcat[:, d0, ..., kd-block] = xp[:, d0 + kd] = x[:, d0 + kd - 1]
+    xcat = jnp.concatenate(
+        [xp[:, 0:d], xp[:, 1:d + 1], xp[:, 2:d + 2]], axis=-1
+    )
+    # [kd,kh,kw,ci,co] -> [kh,kw,(kd ci),co]: kd major matches the concat
+    w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(3, 3, 3 * ci, co)
+    y = jax.lax.conv_general_dilated(
+        xcat.reshape(b * d, h, wd, 3 * ci), w2,
+        window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return y.reshape(b, d, h, wd, co)
+
+
+def _dpack_s2_core(x, w):
+    """Stride-2 dpack lowering body: y[do] = sum_kd W[kd] *2d,s2 xp[2*do+kd],
+    so the depth-strided shifts concat into input channels and one
+    stride-2 conv2d does all the MACs."""
+    b, d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    do = d // 2
+    xp = jnp.pad(x, ((0, 0), (1, 1)) + ((0, 0),) * 3)
+    xcat = jnp.concatenate(
+        [xp[:, 0:d:2], xp[:, 1:d + 1:2], xp[:, 2:d + 2:2]], axis=-1
+    )
+    w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(3, 3, 3 * ci, co)
+    y = jax.lax.conv_general_dilated(
+        xcat.reshape(b * do, h, wd, 3 * ci), w2,
+        window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return y.reshape(b, do, h // 2, wd // 2, co)
+
+
 def _make_zpack_op(core, stride):
     """custom_vjp wrapper: zpack forward, plain-conv3d backward.
 
@@ -139,6 +181,44 @@ def _make_zpack_op(core, stride):
 
 _zpack_s1 = _make_zpack_op(_zpack_s1_core, 1)
 _zpack_s2 = _make_zpack_op(_zpack_s2_core, 2)
+_dpack_s1 = _make_zpack_op(_dpack_s1_core, 1)
+_dpack_s2 = _make_zpack_op(_dpack_s2_core, 2)
+
+
+class _DPackConv3d(nn.Module):
+    """Exact 3x3x3 conv3d lowered as conv2d with the depth taps folded into
+    *input* channels (the complement of _ZPackConv3d for convs whose output
+    channels already fill the MXU lanes).
+
+    For the hourglass interior convs (64/128 out channels) the zpack trick
+    would overflow the 128 output lanes; here the kd taps instead triple the
+    contraction depth (3*Ci = 192/384), which is what the MXU wants. The
+    depth-shifted concat costs one extra materialization of 3x the input —
+    HBM-cheap next to the MACs at these shapes. Exact tap algebra; parameter
+    tree matches nn.Conv ('kernel' [3,3,3,Ci,Co], 'bias'). Backward uses the
+    plain-conv3d VJP in an f32 island behind optimization_barriers (shared
+    custom_vjp wrapper with zpack — see _make_zpack_op).
+    """
+
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 3, ci, co)
+        )
+        dtype = self.dtype or x.dtype
+        op = _dpack_s1 if self.stride == 1 else _dpack_s2
+        y = op(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (co,))
+            y = y + bias.astype(dtype)
+        return y
 
 
 class _ZPackConv3d(nn.Module):
@@ -212,6 +292,47 @@ class _ZPackConv3dS2(nn.Module):
         return y
 
 
+class _PallasConv3d(nn.Module):
+    """3x3x3 stride-1 conv3d via the Pallas im2col kernel
+    (ops/pallas_conv3d.py) — used for the hourglass interior convs whose
+    channel counts (64/128) fit neither the zpack trick (output lanes
+    overflow) nor XLA's conv3d tiling. Param tree matches nn.Conv."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_conv3d import conv3d_s1_pallas
+
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, 3, ci, co)
+        )
+        dtype = self.dtype or x.dtype
+        y = conv3d_s1_pallas(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (co,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+def _pallas_conv3d_enabled():
+    """Opt-in gate (STEREOSCENE_PALLAS_CONV3D=1): the Pallas im2col conv3d
+    wins isolated microbenches but measured *slower in-graph* than XLA's
+    conv3d at the hourglass shapes (chained probe: +1.6 ms/hourglass —
+    the op-boundary relayouts eat the MXU win; see PERF.md round 3), so
+    the default stays XLA. Mosaic kernels only lower on TPU."""
+    if os.environ.get("STEREOSCENE_PALLAS_CONV3D", "0") != "1":
+        return False
+    dd = jax.config.jax_default_device
+    on_cpu = (jax.default_backend() == "cpu"
+              or (dd is not None and dd.platform == "cpu"))
+    return not on_cpu
+
+
 class ConvNd(nn.Module):
     """Torch-style convolution: integer padding means symmetric zero pad.
 
@@ -265,6 +386,43 @@ class ConvNd(nn.Module):
             return _ZPackConv3d(
                 features=self.features, use_bias=self.use_bias,
                 dtype=self.dtype, name="Conv_0",
+            )(x)
+        if (
+            self.ndim == 3
+            and k == (3, 3, 3)
+            and s == (1, 1, 1)
+            and self.groups == 1
+            and not isinstance(self.padding, str)
+            and _tuple(self.padding, 3) == (1, 1, 1)
+            and x.shape[-1] in (64, 128)
+            and self.features >= 64
+            and _pallas_conv3d_enabled()
+        ):
+            # Pallas im2col kernel for the fat hourglass interior convs
+            # (channels pad to the 128-lane tile, so gate to Ci 64/128
+            # where the pad waste is <= 2x; Ci=32 stays on zpack)
+            return _PallasConv3d(
+                features=self.features, use_bias=self.use_bias,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+        if (
+            self.ndim == 3
+            and k == (3, 3, 3)
+            and s in ((1, 1, 1), (2, 2, 2))
+            and self.groups == 1
+            and not isinstance(self.padding, str)
+            and _tuple(self.padding, 3) == (1, 1, 1)
+            and (s == (1, 1, 1)
+                 or all(dim % 2 == 0 for dim in x.shape[1:4]))
+            and os.environ.get("STEREOSCENE_DPACK", "0") == "1"
+        ):
+            # input-side depth fold for fat-output 3x3x3 convs (the
+            # hourglass 64/128-channel interior); exact math, identical
+            # param tree (see _DPackConv3d). Reaches here only when the
+            # zpack gates above don't claim the conv.
+            return _DPackConv3d(
+                features=self.features, stride=s[0],
+                use_bias=self.use_bias, dtype=self.dtype, name="Conv_0",
             )(x)
         if isinstance(self.padding, str):
             pad = self.padding

@@ -98,3 +98,24 @@ def test_zpack_custom_vjp_grads_match_plain_conv3d():
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(pw),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_dpack_matches_direct():
+    """The input-side depth fold (layers._dpack_s1_core/_dpack_s2_core) is
+    exact tap algebra vs the direct conv3d at both strides."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stereoscene_tpu.models.layers import (
+        _plain_conv3d, _dpack_s1_core, _dpack_s2_core,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 6, 10, 5), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 5, 7) * 0.2, jnp.float32)
+    for core, stride in ((_dpack_s1_core, 1), (_dpack_s2_core, 2)):
+        ref = _plain_conv3d(x, w, stride)
+        got = core(x, w)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
