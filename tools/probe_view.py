@@ -19,11 +19,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def make_variables(model, init_args, seed=0):
+def make_variables(model, init_args, seed=0, **init_kwargs):
     """Shape-only init + host randomness (eager init over the relay is
     pathological; see bench.py)."""
     shapes = jax.eval_shape(
-        lambda k: model.init(k, *init_args), jax.random.PRNGKey(seed)
+        lambda k: model.init(k, *init_args, **init_kwargs),
+        jax.random.PRNGKey(seed),
     )
     host_rng = np.random.RandomState(seed)
 
