@@ -242,9 +242,19 @@ def main():
         _ = float(feedback)  # host fetch forces completion of the chain
         return time.perf_counter() - t0
 
+    # Median of several independent timing loops: the relay's run-to-run
+    # noise is ~2% and occasionally a single loop lands a multi-ms stall;
+    # one 20-iter loop can report an unlucky number (VERDICT r2 weak #2).
     full_loop(3)  # warm-up
-    iters = 20
-    dt = full_loop(iters)
+    iters, n_loops = 8, 5
+    dts = sorted(full_loop(iters) for _ in range(n_loops))
+    print(
+        "# full-loop fps samples: "
+        + ", ".join(f"{b * iters / d:.2f}" for d in dts),
+        file=sys.stderr,
+        flush=True,
+    )
+    dt = dts[n_loops // 2]
 
     fps = b * iters / dt
     print(
