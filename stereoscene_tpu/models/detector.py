@@ -73,6 +73,10 @@ class DetectorConfig:
     resnet_depth: int = 18
     norm_groups: int = 32
     attention_chunk: int = 1024
+    # splat-plan group alignment: host pads each voxel's point run to a
+    # multiple of this so the device pre-reduces groups densely and the
+    # scatter shrinks group-x (ops/splat_plan.py; exact f32 math)
+    splat_group: int = 8
     # optional subsystems (ref: bevdepth_occupancy.py:27 use_grid_mask,
     # ViewTransformerLSSVoxel.py:327-340 imgseg aux head,
     # resnet3d.py:158-165 crp3d) — all off in the scored config
@@ -261,7 +265,8 @@ class BEVDepthOccupancy(nn.Module):
         if "splat_order" in batch:
             # host-precomputed static splat plan (ops/splat_plan.py): the
             # argsort + OOB compaction are hoisted out of the compiled step
-            ranks = (batch["splat_order"], batch["splat_ranks"])
+            ranks = (batch["splat_order"], batch["splat_ranks"],
+                     self.cfg.splat_group)
         else:
             ranks = self.compute_ranks(batch)
         # train positional: nn.remat(static_argnums) ignores keyword args

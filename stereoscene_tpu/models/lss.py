@@ -86,11 +86,12 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
 
         # fused lift + splat (ref :517-523); fp32 accumulate in the reduction
         if isinstance(ranks, tuple):
-            order, ranks_sorted = ranks
+            order, ranks_sorted = ranks[0], ranks[1]
+            group = ranks[2] if len(ranks) > 2 else 1
             bev_feat = lift_splat_static(
                 fused_prob.astype(jnp.float32),
                 img_feat.astype(jnp.float32),
-                order, ranks_sorted, self.grid_shape,
+                order, ranks_sorted, self.grid_shape, group=group,
             ).astype(feat_left.dtype)
         else:
             bev_feat = lift_splat(

@@ -52,16 +52,37 @@ def build_plan(
     ranks: np.ndarray,
     num_voxels: int,
     p_pad: Optional[int] = None,
+    group: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """ranks [P] -> (order [P_pad], ranks_sorted [P_pad]).
 
     When ``p_pad`` is None the plan is sized to this frame's in-bounds count
     rounded up to a CHUNK multiple (+1 CHUNK of DMA headroom). Pass a fixed
-    ``p_pad`` to share one compiled graph across calibrations."""
+    ``p_pad`` to share one compiled graph across calibrations.
+
+    ``group > 1`` pads every voxel's run of points to a multiple of
+    ``group`` (pad rows carry ``order = len(ranks)`` — an out-of-range
+    sentinel the device masks to zero weight — and the segment's own rank),
+    so no group of ``group`` consecutive rows straddles a voxel boundary.
+    The device can then pre-reduce groups densely and scatter ``group``x
+    fewer rows (see ops/voxel_pool.lift_splat_static)."""
+    p_total = len(ranks)
     order = np.argsort(ranks, kind="stable").astype(np.int32)
     rs = ranks[order]
     keep = rs < num_voxels
     order, rs = order[keep], rs[keep]
+    if group > 1 and len(order):
+        uniq, counts = np.unique(rs, return_counts=True)
+        padded = (counts + group - 1) // group * group
+        offsets = np.cumsum(padded) - padded
+        seg_start = np.cumsum(counts) - counts
+        seg_id = np.repeat(np.arange(len(uniq)), counts)
+        pos = offsets[seg_id] + (np.arange(len(order)) - seg_start[seg_id])
+        total = int(padded.sum())
+        new_order = np.full(total, p_total, np.int32)
+        new_rs = np.repeat(uniq, padded).astype(np.int32)
+        new_order[pos] = order
+        order, rs = new_order, new_rs
     n = len(order)
     if p_pad is None:
         p_pad = plan_budget(n)
@@ -71,7 +92,9 @@ def build_plan(
             f"{p_pad}; rebuild loaders with a larger budget"
         )
     pad = p_pad - n
-    order = np.concatenate([order, np.zeros(pad, np.int32)])
+    order = np.concatenate(
+        [order, np.full(pad, p_total if group > 1 else 0, np.int32)]
+    )
     rs = np.concatenate([rs, np.full(pad, num_voxels + TILE, np.int32)])
     return order, rs
 
@@ -91,9 +114,12 @@ class SplatPlanCache:
     numpy batch and adds 'splat_order'/'splat_ranks' arrays. The first plan
     fixes the shared p_pad budget."""
 
-    def __init__(self, model, num_voxels: int):
+    def __init__(self, model, num_voxels: int, group: Optional[int] = None):
+        if group is None:
+            group = getattr(getattr(model, "cfg", None), "splat_group", 1)
         self.model = model
         self.num_voxels = num_voxels
+        self.group = int(group)
         self.p_pad: Optional[int] = None
         self._cache: Dict[bytes, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -118,10 +144,15 @@ class SplatPlanCache:
             if hit is None:
                 ranks = compute_ranks_host(self.model, sample)
                 if self.p_pad is None:
-                    self.p_pad = plan_budget(
-                        int((ranks < self.num_voxels).sum())
+                    # size the shared budget from the first frame's own
+                    # group-padded plan (alignment growth included)
+                    first = build_plan(
+                        ranks, self.num_voxels, group=self.group
                     )
-                hit = build_plan(ranks, self.num_voxels, self.p_pad)
+                    self.p_pad = len(first[0])
+                hit = build_plan(
+                    ranks, self.num_voxels, self.p_pad, group=self.group
+                )
                 self._cache[key] = hit
             orders.append(hit[0])
             rankss.append(hit[1])

@@ -65,6 +65,7 @@ def lift_splat_static(
     order: jnp.ndarray,
     ranks_sorted: jnp.ndarray,
     grid_shape: tuple[int, int, int],
+    group: int = 1,
 ) -> jnp.ndarray:
     """Fused lift + splat over a host-precomputed static plan
     (ops/splat_plan.py): points arrive pre-sorted by voxel rank and compacted
@@ -103,6 +104,23 @@ def lift_splat_static(
     ) == "pallas"
 
     def one(dp, feat, od, rk):
+        if group > 1:
+            # group-aligned plan (ops/splat_plan.py build_plan(group=G)):
+            # every G consecutive rows share a voxel, pad rows carry the
+            # out-of-range order sentinel. Dense G-way pre-reduce (fuses
+            # with the gather), then a G-x smaller sorted segment-sum.
+            p_total = d * fh * fw
+            odc = jnp.minimum(od, p_total - 1)
+            w = (od < p_total).astype(jnp.float32)
+            vals = (dp.reshape(-1)[odc].astype(jnp.float32) * w)[:, None] * (
+                feat.reshape(-1, c)[odc % (fh * fw)].astype(jnp.float32)
+            )
+            vals = vals.reshape(-1, group, c).sum(axis=1)
+            out = jax.ops.segment_sum(
+                vals, jnp.minimum(rk[::group], num_voxels),
+                num_segments=num_voxels + 1, indices_are_sorted=True,
+            )[:num_voxels]
+            return out.reshape(num_x, num_y, num_z, c)
         vals = dp.reshape(-1)[od, None].astype(jnp.float32) * (
             feat.reshape(-1, c)[od % (fh * fw)].astype(jnp.float32)
         )

@@ -126,3 +126,26 @@ def test_confidence_attention_matches_dense():
     attn = attn / attn.sum(-1, keepdims=True)
     ref = np.einsum("bdj,bij->bdi", np.asarray(v), attn)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_trilinear_2x_fast_path_exact():
+    """The static 2x stencil must match jax.image.resize exactly (the final
+    voxel upsample, ref bevdepth_occupancy.py:293-294)."""
+    import jax
+
+    from stereoscene_tpu.ops.resize import resize_trilinear
+
+    rng = np.random.RandomState(0)
+    for shape, out in [
+        ((1, 8, 8, 4, 5), (16, 16, 8)),   # all-axes 2x -> pure fast path
+        ((2, 5, 6, 3, 2), (10, 12, 6)),   # odd sizes, all 2x
+        ((1, 4, 6, 3, 2), (8, 9, 3)),     # mixed: 2x, non-2x, identity
+        ((1, 4, 4, 4, 2), (7, 9, 5)),     # no 2x axis -> general path
+    ]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        got = np.asarray(resize_trilinear(x, out))
+        ref_shape = shape[:-4] + out + shape[-1:]
+        ref = np.asarray(
+            jax.image.resize(x, ref_shape, method="linear")
+        )
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)

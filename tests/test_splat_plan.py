@@ -111,3 +111,47 @@ def test_grad_through_static_plan():
     for a, b in zip(g_sta, g_dyn):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_plan_matches_scatter():
+    """group-aligned plans (dense pre-reduce + G-x smaller scatter) are
+    exact vs the dynamic scatter path."""
+    rng = np.random.RandomState(1)
+    d, fh, fw, c = 6, 4, 5, 8
+    grid = (8, 8, 4)
+    nvox = int(np.prod(grid))
+    p = d * fh * fw
+    ranks = np.where(
+        rng.rand(p) < 0.4, rng.randint(0, nvox, p), nvox
+    ).astype(np.int32)
+    dp = rng.rand(1, d, fh, fw).astype(np.float32)
+    feat = rng.randn(1, fh, fw, c).astype(np.float32)
+
+    ref = lift_splat(jnp.asarray(dp), jnp.asarray(feat),
+                     jnp.asarray(ranks[None]), grid)
+
+    for g in (4, 8):
+        order, rs = build_plan(ranks, nvox, group=g)
+        assert order.shape[0] % g == 0
+        # no group straddles a voxel boundary
+        gr = rs.reshape(-1, g)
+        assert (gr == gr[:, :1]).all()
+        out = lift_splat_static(
+            jnp.asarray(dp), jnp.asarray(feat),
+            jnp.asarray(order[None]), jnp.asarray(rs[None]), grid, group=g,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_plan_cache_group_from_model_cfg():
+    """SplatPlanCache reads splat_group from the detector cfg so the host
+    plan and the device path always agree."""
+    model = graft._tiny_model() if hasattr(graft, "_tiny_model") else None
+    if model is None:
+        import pytest
+
+        pytest.skip("no tiny model helper in __graft_entry__")
+    g = model.cfg.splat_group
+    cache = SplatPlanCache(model, 8 * 8 * 4)
+    assert cache.group == g
