@@ -75,7 +75,11 @@ class DetectorConfig:
     attention_chunk: int = 1024
     # splat-plan group alignment: host pads each voxel's point run to a
     # multiple of this so the device pre-reduces groups densely and the
-    # scatter shrinks group-x (ops/splat_plan.py; exact f32 math)
+    # scatter shrinks group-x (ops/splat_plan.py; exact f32 math).
+    # On the flagship KITTI calibration group=8 inflates the plan 4.2x
+    # (418k -> 1.76M rows; runs are ~2.6 rows median) yet still wins the
+    # bench A/B by ~1 ms/frame (r4: 10.52 vs 10.38 fps; the dense 8-row
+    # pre-reduce is cheaper than scattering 2x the rows). PERF.md r4 table.
     splat_group: int = 8
     # optional subsystems (ref: bevdepth_occupancy.py:27 use_grid_mask,
     # ViewTransformerLSSVoxel.py:327-340 imgseg aux head,
@@ -178,6 +182,7 @@ class BEVDepthOccupancy(nn.Module):
             cam_channels=cfg.cam_channels,
             grid_shape=cfg.grid_shape,
             attention_chunk=cfg.attention_chunk,
+            splat_group=cfg.splat_group,
         )
         resnet3d_cls = (
             nn.remat(CustomResNet3D, static_argnums=(2,))
@@ -264,9 +269,11 @@ class BEVDepthOccupancy(nn.Module):
         )
         if "splat_order" in batch:
             # host-precomputed static splat plan (ops/splat_plan.py): the
-            # argsort + OOB compaction are hoisted out of the compiled step
-            ranks = (batch["splat_order"], batch["splat_ranks"],
-                     self.cfg.splat_group)
+            # argsort + OOB compaction are hoisted out of the compiled step.
+            # The plan's group alignment travels as the view transformer's
+            # static splat_group attribute (set from cfg above); the
+            # SplatPlanCache producer validates the plan against that cfg.
+            ranks = (batch["splat_order"], batch["splat_ranks"])
         else:
             ranks = self.compute_ranks(batch)
         # train positional: nn.remat(static_argnums) ignores keyword args

@@ -32,6 +32,13 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
     cam_channels: int = 30
     grid_shape: Tuple[int, int, int] = (128, 128, 16)
     attention_chunk: int = 1024
+    # group alignment of host-built static splat plans (ops/splat_plan.py).
+    # A module attribute (static at trace time) rather than a leaf of the
+    # runtime ``ranks`` tuple: under nn.remat non-static args are
+    # abstractified, and a traced group would break the `group > 1` branch
+    # selection in lift_splat_static. MUST match the ``group=`` the plan was
+    # built with (SplatPlanCache enforces this against the detector cfg).
+    splat_group: int = 1
     # fine-grained remat: checkpoint each hourglass / MIE block so the
     # backward recomputes one block at a time. Whole-stage remat alone
     # leaves the peak inside this stage's own recompute (B=2 train OOM
@@ -87,7 +94,7 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
         # fused lift + splat (ref :517-523); fp32 accumulate in the reduction
         if isinstance(ranks, tuple):
             order, ranks_sorted = ranks[0], ranks[1]
-            group = ranks[2] if len(ranks) > 2 else 1
+            group = self.splat_group
             bev_feat = lift_splat_static(
                 fused_prob.astype(jnp.float32),
                 img_feat.astype(jnp.float32),

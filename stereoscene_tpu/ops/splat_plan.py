@@ -66,6 +66,21 @@ def build_plan(
     so no group of ``group`` consecutive rows straddles a voxel boundary.
     The device can then pre-reduce groups densely and scatter ``group``x
     fewer rows (see ops/voxel_pool.lift_splat_static)."""
+    if group < 1:
+        raise ValueError(f"splat group must be >= 1, got {group}")
+    if group > 1 and CHUNK % group != 0:
+        # plan budgets are CHUNK-aligned; a non-divisor group would make
+        # P_pad % group != 0 and fail the device-side [-1, group, c] reshape
+        # with an opaque trace error (ops/voxel_pool.py grouped branch)
+        raise ValueError(
+            f"splat group {group} must divide the plan chunk size {CHUNK} "
+            f"so padded plans stay group-aligned"
+        )
+    if p_pad is not None and p_pad % group != 0:
+        raise ValueError(
+            f"p_pad={p_pad} is not a multiple of splat group {group}; the "
+            f"grouped device path reshapes the plan to [-1, {group}, C]"
+        )
     p_total = len(ranks)
     order = np.argsort(ranks, kind="stable").astype(np.int32)
     rs = ranks[order]
@@ -96,7 +111,34 @@ def build_plan(
         [order, np.full(pad, p_total if group > 1 else 0, np.int32)]
     )
     rs = np.concatenate([rs, np.full(pad, num_voxels + TILE, np.int32)])
+    if group > 1:
+        validate_plan_group(rs, group)
     return order, rs
+
+
+def validate_plan_group(ranks_sorted: np.ndarray, group: int) -> None:
+    """Assert no ``group``-row block of a plan straddles a voxel boundary.
+
+    The grouped device path (ops/voxel_pool.lift_splat_static) sums each
+    block densely and scatters one row per block under the block's first
+    rank — silently wrong voxel sums if the plan was built with a different
+    ``group``. Cheap host-side check; call it on any plan whose producer is
+    not ``build_plan(group=...)`` itself."""
+    if group <= 1:
+        return
+    if len(ranks_sorted) % group != 0:
+        raise ValueError(
+            f"plan length {len(ranks_sorted)} not a multiple of group {group}"
+        )
+    blocks = np.asarray(ranks_sorted).reshape(-1, group)
+    bad = np.nonzero((blocks != blocks[:, :1]).any(axis=1))[0]
+    if len(bad):
+        raise ValueError(
+            f"splat plan is not group-{group} aligned: {len(bad)} blocks "
+            f"straddle voxel boundaries (first at rows "
+            f"{bad[0] * group}..{bad[0] * group + group - 1}); rebuild the "
+            f"plan with build_plan(..., group={group})"
+        )
 
 
 def plan_budget(n_valid: int, margin: float = 1.1) -> int:
@@ -115,8 +157,18 @@ class SplatPlanCache:
     fixes the shared p_pad budget."""
 
     def __init__(self, model, num_voxels: int, group: Optional[int] = None):
+        cfg_group = getattr(getattr(model, "cfg", None), "splat_group", None)
         if group is None:
-            group = getattr(getattr(model, "cfg", None), "splat_group", 1)
+            group = 1 if cfg_group is None else cfg_group
+        elif cfg_group is not None and int(group) != int(cfg_group):
+            # the device path reduces plans with the STATIC cfg.splat_group;
+            # a cache built with a different group would produce silently
+            # wrong voxel sums (grouped blocks straddling voxel boundaries)
+            raise ValueError(
+                f"SplatPlanCache group={group} conflicts with the model's "
+                f"cfg.splat_group={cfg_group}; the compiled splat uses the "
+                f"cfg value, so the plan must be built with the same group"
+            )
         self.model = model
         self.num_voxels = num_voxels
         self.group = int(group)

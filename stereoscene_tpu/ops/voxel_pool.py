@@ -80,8 +80,19 @@ def lift_splat_static(
     Args:
       depth_prob: [B, D, fH, fW].
       img_feat: [B, fH, fW, C].
-      order: [B, P_pad] int32 sorted in-bounds point indices (pad = 0).
-      ranks_sorted: [B, P_pad] int32 sorted ranks (pad sentinel >= num_voxels).
+      order: [B, P_pad] int32 sorted in-bounds point indices. Pad rows carry
+        0 for group=1 plans and the out-of-range sentinel ``D*fH*fW`` for
+        grouped plans (masked to zero weight on device).
+      ranks_sorted: [B, P_pad] int32 sorted ranks (pad sentinel
+        >= num_voxels).
+      group: group alignment the plan was built with
+        (``splat_plan.build_plan(group=...)``). MUST match the plan — a
+        group-1 plan run with group>1 sums across voxel boundaries
+        (``splat_plan.validate_plan_group`` is the host-side check).
+        The ``STEREOSCENE_STATIC_SPLAT=pallas`` knob applies only to
+        group=1 plans; grouped plans always use the sorted segment-sum
+        (their pre-reduced row count is no longer CHUNK-aligned, which the
+        Pallas kernel's DMA tiling requires).
     Returns:
       [B, X, Y, Z, C] pooled voxel features (float32).
     """

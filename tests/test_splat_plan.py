@@ -146,12 +146,46 @@ def test_grouped_plan_matches_scatter():
 
 def test_plan_cache_group_from_model_cfg():
     """SplatPlanCache reads splat_group from the detector cfg so the host
-    plan and the device path always agree."""
-    model = graft._tiny_model() if hasattr(graft, "_tiny_model") else None
-    if model is None:
-        import pytest
+    plan and the device path always agree, and refuses a conflicting
+    explicit group (ADVICE r3: the compiled splat uses the static cfg
+    value, so a cache built with another group is silently wrong)."""
+    import pytest
 
-        pytest.skip("no tiny model helper in __graft_entry__")
+    import dataclasses
+
+    from stereoscene_tpu.models.detector import BEVDepthOccupancy
+
+    # pin group>1 explicitly: the invariant is vacuous at the default
+    # (group=1 since the round-4 plan-inflation finding, detector.py)
+    cfg = dataclasses.replace(graft._tiny_cfg(), splat_group=8)
+    model = BEVDepthOccupancy(cfg=cfg)
     g = model.cfg.splat_group
     cache = SplatPlanCache(model, 8 * 8 * 4)
     assert cache.group == g
+    assert SplatPlanCache(model, 8 * 8 * 4, group=g).group == g
+    with pytest.raises(ValueError, match="splat_group"):
+        SplatPlanCache(model, 8 * 8 * 4, group=1)
+
+
+def test_build_plan_group_validation():
+    """Invalid group/p_pad combinations fail fast with readable errors
+    (ADVICE r3: a non-divisor group used to surface as an opaque reshape
+    trace error in the grouped device path)."""
+    import pytest
+
+    from stereoscene_tpu.ops.splat_plan import validate_plan_group
+
+    ranks = np.sort(np.random.RandomState(0).randint(0, 64, 200)).astype(
+        np.int32
+    )
+    with pytest.raises(ValueError, match="divide"):
+        build_plan(ranks, 64, group=3)
+    with pytest.raises(ValueError, match="multiple of splat group"):
+        build_plan(ranks, 64, p_pad=1028, group=8)
+    # a group-1 plan mislabeled as group-8 is caught by the host validator
+    order, rs = build_plan(ranks, 64)
+    with pytest.raises(ValueError, match="straddle"):
+        validate_plan_group(rs, 8)
+    # a genuinely grouped plan passes
+    order8, rs8 = build_plan(ranks, 64, group=8)
+    validate_plan_group(rs8, 8)
