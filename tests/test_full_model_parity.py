@@ -19,6 +19,9 @@ from stereoscene_tpu.utils.convert_reference import (
     convert_reference_checkpoint,
 )
 
+# full tier only: full tiny-model forward vs the torch oracle
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def parity_setup():
@@ -30,7 +33,8 @@ def parity_setup():
     torch_model = TorchStereoScene(TINY).eval()
     randomize_state(torch_model, seed=7)
     tb = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in batch.items()}
-    out_t = torch_model(tb)
+    with torch.no_grad():
+        out_t = torch_model(tb)
 
     model = BEVDepthOccupancy(cfg=TINY)
     shapes = jax.eval_shape(

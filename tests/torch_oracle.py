@@ -745,8 +745,9 @@ class TorchStereoScene(nn.Module):
         self.frustum = torch_create_frustum(
             cfg.input_size, cfg.downsample, cfg.dbound)
 
-    @torch.no_grad()
     def forward(self, batch):
+        # grad-enabled (the backward-parity test differentiates through the
+        # oracle); output-only parity callers wrap with torch.no_grad()
         cfg = self.cfg
         imgs = batch["imgs"]  # [B, 2, H, W, 3] channels-last
         b = imgs.shape[0]
