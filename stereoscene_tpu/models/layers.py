@@ -40,6 +40,22 @@ def _tuple(v, n):
     return (v,) * n
 
 
+def agg4d_enabled(batch: int, train: bool, with_cp: bool = False) -> bool:
+    """Static gate for the slice-packed rank-4 aggregation domain (agg4d).
+
+    True only for B=1 inference without remat; ``STEREOSCENE_AGG4D``
+    overrides: "1" forces on (shape conditions still apply), "0" forces
+    off, "auto" (default) additionally requires a single device — GSPMD
+    propagation through the rank-4 chain on a sharded mesh is unvalidated.
+    """
+    if train or batch != 1 or with_cp:
+        return False
+    gate = os.environ.get("STEREOSCENE_AGG4D", "auto")
+    if gate == "0":
+        return False
+    return gate == "1" or (gate == "auto" and jax.device_count() == 1)
+
+
 def _plain_conv3d(x, w, stride):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,) * 3, padding=[(1, 1)] * 3,
@@ -183,6 +199,134 @@ _zpack_s1 = _make_zpack_op(_zpack_s1_core, 1)
 _zpack_s2 = _make_zpack_op(_zpack_s2_core, 2)
 _dpack_s1 = _make_zpack_op(_dpack_s1_core, 1)
 _dpack_s2 = _make_zpack_op(_dpack_s2_core, 2)
+
+
+# ---------------------------------------------------------------------------
+# Slice-packed rank-4 domain ("agg4d"): the whole-chain answer to the
+# round-3 lowering studies. Per-op zpack/dpack/dphase each won standalone
+# but LOST in-graph because every op re-entered XLA's 5D conv3d layout at
+# its boundary (PERF.md round-3 hourglass study). Here the B=1 inference
+# volume lives as a rank-4 [D, H, W, C] tensor — depth is the conv2d batch
+# dim — through the ENTIRE cost-aggregation chain (dres stem, all three
+# hourglasses, classif heads, MIE convs), so no 5D conv operand ever
+# exists and the relayouts have nothing to attach to. Depth taps become
+# pad/slice/add on the leading dim (s1: zpack out-channel fold or dpack
+# in-channel fold; s2: depth-parity; deconv: depth-phase) — the exact same
+# tap algebra as the 5D lowerings above, minus the 5D round-trips.
+# ---------------------------------------------------------------------------
+
+
+def _conv2d(x, w, stride=1, padding=1, lhs_dilation=None, pad2=None):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=pad2 if pad2 is not None else [(padding, padding)] * 2,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def _slice4d_conv_s1_zpack(x, w):
+    """[D,H,W,Ci] x [3,3,3,Ci,Co] -> [D,H,W,Co]; taps -> output channels."""
+    d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    w2 = jnp.transpose(w, (1, 2, 3, 0, 4)).reshape(3, 3, ci, 3 * co)
+    z = _conv2d(x, w2)
+    zp = jnp.pad(z, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    return (zp[0:d, ..., 0:co] + zp[1:d + 1, ..., co:2 * co]
+            + zp[2:d + 2, ..., 2 * co:])
+
+
+def _slice4d_conv_s1_dpack(x, w):
+    """[D,H,W,Ci] x [3,3,3,Ci,Co] -> [D,H,W,Co]; taps -> input channels."""
+    d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    xcat = jnp.concatenate([xp[0:d], xp[1:d + 1], xp[2:d + 2]], axis=-1)
+    w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(3, 3, 3 * ci, co)
+    return _conv2d(xcat, w2)
+
+
+def _slice4d_conv_s2_dpack(x, w):
+    """Stride-2 (all three dims): y[do] = sum_kd W[kd] *2d,s2 xp[2do+kd]."""
+    d, h, wd, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    xcat = jnp.concatenate(
+        [xp[0:d:2], xp[1:d + 1:2], xp[2:d + 2:2]], axis=-1
+    )
+    w2 = jnp.transpose(w, (1, 2, 0, 3, 4)).reshape(3, 3, 3 * ci, co)
+    return _conv2d(xcat, w2, stride=2)
+
+
+def _slice4d_deconv_k3s2(x, kernel, dtype):
+    """torch ConvTranspose3d(k3, s2, p1, op1) on [D,H,W,Ci] (depth-phase;
+    same algebra as _dphase_deconv_k3s2 without the 5D round-trip)."""
+    d, h, wd, ci = x.shape
+    co = kernel.shape[-1]
+    w2 = jnp.transpose(kernel.astype(dtype), (1, 2, 3, 0, 4)).reshape(
+        3, 3, ci, 3 * co
+    )
+    w2f = w2[::-1, ::-1]
+    z = _conv2d(
+        x.astype(dtype), w2f, lhs_dilation=(2, 2), pad2=[(1, 2), (1, 2)]
+    )  # [D, 2H, 2W, 3co]
+    even = z[..., co:2 * co]  # depth tap kd=1
+    zp = jnp.pad(z, ((0, 1), (0, 0), (0, 0), (0, 0)))
+    odd = zp[0:d, ..., 2 * co:] + zp[1:d + 1, ..., 0:co]
+    out = jnp.stack([even, odd], axis=1)  # [D, 2, 2H, 2W, co]
+    return out.reshape(2 * d, 2 * h, 2 * wd, co)
+
+
+class _SlicePackConv3d(nn.Module):
+    """3x3x3 / 1x1x1 conv3d on a slice-packed rank-4 [D, H, W, C] tensor.
+
+    Declares the identical param tree as nn.Conv (name='Conv_0', 'kernel'
+    [kd,kh,kw,Ci,Co]) so checkpoints and the torch converter are unaffected.
+    Packing for s1 3x3x3: 'z' (taps->out channels) when 3*Co fits the gate,
+    else 'd' (taps->in channels); override: STEREOSCENE_AGG4D_PACK=z|d.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3, 3)
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        ci = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            (*k, ci, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        w = kernel.astype(dtype)
+        x = x.astype(dtype)
+        if k == (1, 1, 1):
+            y = _conv2d(
+                x, w.reshape(1, 1, ci, self.features),
+                stride=self.stride, padding=0,
+            )
+            if self.stride == 2:  # stride also applies along depth
+                y = y[::2]
+        elif self.stride == 1:
+            pack = os.environ.get("STEREOSCENE_AGG4D_PACK", "auto")
+            if pack == "auto":
+                pack = "z" if 3 * self.features <= 128 else "d"
+            y = (_slice4d_conv_s1_zpack if pack == "z"
+                 else _slice4d_conv_s1_dpack)(x, w)
+        else:
+            y = _slice4d_conv_s2_dpack(x, w)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class _DPackConv3d(nn.Module):
@@ -351,6 +495,17 @@ class ConvNd(nn.Module):
     def __call__(self, x):
         k = _tuple(self.kernel_size, self.ndim)
         s = _tuple(self.stride, self.ndim)
+        if self.ndim == 3 and x.ndim == 4:
+            # slice-packed rank-4 input ([D, H, W, C], B=1 inference): the
+            # whole-chain agg4d domain. Identical param tree via Conv_0.
+            assert self.groups == 1 and not isinstance(self.padding, str)
+            assert k in ((3, 3, 3), (1, 1, 1)) and s[0] == s[1] == s[2]
+            assert _tuple(self.padding, 3) == ((1,) * 3 if k[0] == 3
+                                               else (0,) * 3)
+            return _SlicePackConv3d(
+                features=self.features, kernel_size=k, stride=s[0],
+                use_bias=self.use_bias, dtype=self.dtype, name="Conv_0",
+            )(x)
         if (
             self.ndim == 3
             and k == (3, 3, 3)
@@ -514,6 +669,19 @@ class ConvTransposeTorch(nn.Module):
         dim_chars = "DHW"[-self.ndim:]
         spec = (f"N{dim_chars}C", f"{dim_chars}IO", f"N{dim_chars}C")
         dtype = self.dtype or x.dtype
+
+        if self.ndim == 3 and x.ndim == 4:
+            # slice-packed rank-4 input (agg4d domain)
+            assert k == (3, 3, 3) and s == (2, 2, 2) and p == (1, 1, 1) \
+                and op == (1, 1, 1), (k, s, p, op)
+            y = _slice4d_deconv_k3s2(x, kernel, dtype)
+            if self.use_bias:
+                bias = self.param(
+                    "bias", nn.initializers.zeros, (self.features,),
+                    jnp.float32,
+                )
+                y = y + bias.astype(y.dtype)
+            return y
 
         # Subpixel phase-decomposition is exact and wins per-op in isolation
         # (probe_deconv.py), but in the full graph the depth-to-space
@@ -796,4 +964,13 @@ class ConvGN3d(nn.Module):
             stride=self.stride, padding=self.padding, use_bias=False,
             name="conv",
         )(x)
+        if x.ndim == 4:
+            # slice-packed [D, H, W, C] (agg4d, B=1): GN statistics must
+            # span the depth slices too — flatten to one flax batch sample
+            # [1, D*H, W, C] for the reduction, identical params/numerics
+            d, h, w, c = x.shape
+            y = GroupNorm(num_groups=self.num_groups, name="gn")(
+                x.reshape(1, d * h, w, c)
+            )
+            return y.reshape(d, h, w, c)
         return GroupNorm(num_groups=self.num_groups, name="gn")(x)

@@ -88,7 +88,8 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
             if self.with_cp else VolumeInteraction
         )
         fused_prob = vi_cls(
-            attention_chunk=self.attention_chunk, name="volume_interaction"
+            attention_chunk=self.attention_chunk, with_cp=self.with_cp,
+            name="volume_interaction",
         )(stereo_prob, lss_prob, train)
 
         # fused lift + splat (ref :517-523); fp32 accumulate in the reduction

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.bri_attention import confidence_attention
-from .layers import Conv3d, GroupNorm
+from .layers import Conv3d, GroupNorm, agg4d_enabled
 from .stereo_volume import Hourglass3D
 
 
@@ -67,23 +67,39 @@ class CA3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # x is [B, D, H, W, C], or slice-packed [D, H, W, C] in the agg4d
+        # domain (models/layers.py): GN statistics must then span the depth
+        # slices (one sample), and the squeeze pools over (D, H, W).
+        packed = x.ndim == 4
+
+        def gn(name, v):
+            if packed:
+                d, h, w, c = v.shape
+                return GroupNorm(num_groups=1, name=name)(
+                    v.reshape(1, d * h, w, c)
+                ).reshape(d, h, w, c)
+            return GroupNorm(num_groups=1, name=name)(v)
+
         data = Conv3d(self.channels, 3, padding=1, name="conv1")(x)
         data = nn.gelu(data, approximate=False)
-        data = GroupNorm(num_groups=1, name="gn1")(data)
+        data = gn("gn1", data)
 
-        pooled = jnp.mean(data.astype(jnp.float32), axis=(1, 2, 3))
+        spatial = (0, 1, 2) if packed else (1, 2, 3)
+        pooled = jnp.mean(data.astype(jnp.float32), axis=spatial)
         squeeze = nn.Dense(self.channels // 8, name="fc_reduce")(
             pooled.astype(x.dtype)
         )
         squeeze = nn.gelu(squeeze, approximate=False)
         squeeze = nn.Dense(self.channels, name="fc_expand")(squeeze)
         squeeze = nn.gelu(squeeze, approximate=False)
-        weight = nn.sigmoid(squeeze)[:, None, None, None, :]
+        weight = nn.sigmoid(squeeze)
+        weight = (weight[None, None, None, :] if packed
+                  else weight[:, None, None, None, :])
 
         out = weight.astype(data.dtype) * data
         out = Conv3d(self.channels, 3, padding=1, name="conv2")(out)
         out = nn.gelu(out, approximate=False)
-        return GroupNorm(num_groups=1, name="gn2")(out)
+        return gn("gn2", out)
 
 
 class VolumeInteraction(nn.Module):
@@ -95,6 +111,9 @@ class VolumeInteraction(nn.Module):
 
     channels: int = 32
     attention_chunk: int = 1024
+    # False when the caller wraps this module in nn.remat (lss.py with_cp):
+    # the agg4d fast path is inference-only and skipped under remat
+    with_cp: bool = False
 
     @nn.compact
     def __call__(self, stereo_volume, lss_volume, train: bool = False):
@@ -107,6 +126,13 @@ class VolumeInteraction(nn.Module):
         )(q=lss_volume, kv=stereo_volume)
 
         both = jnp.stack([lss_from_stereo, stereo_from_lss], axis=-1)
+        # agg4d: the DVE chain (redir1 -> hourglass -> CA3D -> redir2) is
+        # the same B=1 conv3d regime as the stereo aggregation — run it
+        # slice-packed rank-4 [D, H, W, C] so no 5D conv operand exists
+        # (exact math, identical params; tests/test_agg4d.py MIE case)
+        agg4d = agg4d_enabled(both.shape[0], train, self.with_cp)
+        if agg4d:
+            both = both[0]
         data = nn.relu(
             Conv3d(self.channels, 3, padding=1, name="redir1")(both)
         )
@@ -118,6 +144,8 @@ class VolumeInteraction(nn.Module):
         ) + data
 
         fused = nn.relu(Conv3d(1, 3, padding=1, name="redir2")(data))[..., 0]
+        if agg4d:
+            fused = fused[None]  # [1, D, H, W]
         return nn.softmax(fused.astype(jnp.float32), axis=1).astype(
             stereo_volume.dtype
         )

@@ -40,6 +40,7 @@ from .layers import (
     GroupNorm,
     Mlp,
     SELayer,
+    agg4d_enabled,
 )
 
 
@@ -159,6 +160,17 @@ class GwcVolumeEncoder(nn.Module):
             vol = warp_disparity_to_depth(vol, pos).astype(feat_left.dtype)
 
         c = self.num_groups
+        # agg4d: run the ENTIRE cost-aggregation chain (dres stem, three
+        # hourglasses, classif heads) on a slice-packed rank-4 [D, H, W, C]
+        # tensor — depth is the conv2d batch dim, the depth taps are
+        # pad/slice adds, and no 5D conv operand ever exists, so the per-op
+        # boundary relayouts that sank the round-3 zpack/dpack/dphase
+        # studies (PERF.md) never appear. Exact math, identical param tree
+        # (tests/test_agg4d.py). B=1 inference only; training and batched
+        # paths keep the 5D graph.
+        agg4d = agg4d_enabled(b, train, self.with_cp)
+        if agg4d:
+            vol = vol[0]  # [D, H, W, C]
         cost0 = nn.relu(ConvGN3d(c, 3, padding=1, name="dres0_0")(vol))
         cost0 = nn.relu(ConvGN3d(c, 3, padding=1, name="dres0_1")(cost0))
         res = nn.relu(ConvGN3d(c, 3, padding=1, name="dres1_0")(cost0))
@@ -180,6 +192,9 @@ class GwcVolumeEncoder(nn.Module):
         single = Conv3d(1, 3, padding=1, use_bias=False, name="classif3_2")(
             multi
         )[..., 0]
+        if agg4d:
+            multi = multi[None]           # [1, D, H, W, C]
+            single = single[None]         # [1, D, H, W]
         # fp32 softmax island over the depth axis
         prob = nn.softmax(single.astype(jnp.float32), axis=1).astype(
             feat_left.dtype
