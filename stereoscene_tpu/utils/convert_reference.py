@@ -17,12 +17,18 @@ inverse transforms to prove full coverage and invertible layouts.
 
 from __future__ import annotations
 
+import difflib
 import re
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
 from . import checkpoint_convert as cc
+
+# state_dict entries that are expected but carry no information for us:
+# BN step counters, and mmcv checkpoint bookkeeping occasionally exported
+# alongside the weights.
+_NOISE_KEY = re.compile(r"(^|\.)num_batches_tracked$|^(meta|optimizer)($|\.)")
 
 
 def _inv(transform: Callable) -> Callable:
@@ -382,10 +388,17 @@ def convert_reference_checkpoint(
 ):
     """Map a reference state_dict onto our param/stat trees.
 
-    Every leaf of the targets must be produced (strict) and shapes must
-    match; returns (params, batch_stats)."""
+    Every leaf of the targets must be produced (strict), shapes must match,
+    and — also under strict — every state_dict entry must be consumed
+    (BN ``num_batches_tracked`` counters and checkpoint bookkeeping are
+    tolerated noise): a real checkpoint with renamed/extra modules fails
+    loudly with a readable diff instead of silently loading a partial
+    model. Half-precision checkpoints are fine — values are cast to the
+    target leaf dtype after the layout transform. Returns
+    (params, batch_stats)."""
     flat_p = _flatten(target_params)
     flat_s = _flatten(target_stats)
+    consumed = set()
 
     def fill(flat_target, rules):
         out = {}
@@ -399,7 +412,8 @@ def convert_reference_checkpoint(
             if tkey not in state_dict:
                 missing.append(f"{path} <- {tkey} (absent)")
                 continue
-            arr = fwd(np.asarray(state_dict[tkey]))
+            consumed.add(tkey)
+            arr = fwd(np.asarray(state_dict[tkey], dtype=np.float32))
             if tuple(arr.shape) != tuple(leaf.shape):
                 raise ValueError(
                     f"{path}: converted shape {arr.shape} != {leaf.shape} "
@@ -416,6 +430,26 @@ def convert_reference_checkpoint(
     new_p = fill(flat_p, name_map.params)
     new_s = fill(flat_s, name_map.stats)
 
+    if strict:
+        known = {r[0] for r in name_map.params.values()}
+        known |= {r[0] for r in name_map.stats.values()}
+        unexpected = sorted(
+            k for k in state_dict
+            if k not in consumed and k not in known and not _NOISE_KEY.search(k)
+        )
+        if unexpected:
+            lines = []
+            for k in unexpected[:10]:
+                close = difflib.get_close_matches(k, known, n=1)
+                hint = f"  (closest mapped key: {close[0]})" if close else ""
+                lines.append(f"  {k}{hint}")
+            raise KeyError(
+                f"{len(unexpected)} unexpected state_dict keys not consumed "
+                f"by the name map (first 10 below). If the checkpoint was "
+                f"saved after fuse_conv_bn, run adapt_fused_state_dict() "
+                f"first.\n" + "\n".join(lines)
+            )
+
     def unflatten(flat):
         tree: Dict = {}
         for path, v in flat.items():
@@ -423,6 +457,84 @@ def convert_reference_checkpoint(
         return tree
 
     return unflatten(new_p), unflatten(new_s)
+
+
+def _default_bn_eps(torch_key: str) -> float:
+    """BN epsilon by module: the EfficientNet backbone uses 1e-3
+    (models/efficientnet.py:349), every other BatchNorm 1e-5
+    (models/layers.py BatchNorm default)."""
+    return 1e-3 if torch_key.startswith("img_backbone.") else 1e-5
+
+
+def adapt_fused_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    name_map: NameMap,
+    eps_for: Callable[[str], float] = _default_bn_eps,
+) -> Dict[str, np.ndarray]:
+    """Adapt a checkpoint saved after the reference's ``fuse_conv_bn``
+    (tools/misc/fuse_conv_bn.py) to the unfused name map.
+
+    Torch-side fusing folds each BN into its conv — the conv kernel is
+    rescaled, a ``.bias`` appears on a previously bias-free conv, and the
+    BN module is replaced by Identity (its keys vanish). This function
+    structurally inverts that: for every BN module the map expects but the
+    checkpoint lacks, it finds the fused conv (the unconsumed ``.bias``
+    whose torch key shares the longest prefix with the BN and whose length
+    matches the BN width), moves that bias into the BN's beta, and installs
+    identity statistics (gamma=1, mean=0, var=1-eps) so the reconstructed
+    model computes exactly what the fused torch model did. The conv kernel
+    keeps its fused scaling. Returns a new state_dict; the original is not
+    modified."""
+    sd = dict(state_dict)
+    known = {r[0] for r in name_map.params.values()}
+    known |= {r[0] for r in name_map.stats.values()}
+    # unconsumed conv biases = fused-BN residue candidates
+    loose_biases = [
+        k for k in sd
+        if k.endswith(".bias") and k not in known
+        and f"{k[:-5]}.weight" in known
+    ]
+    for path, (tkey, _, _) in sorted(name_map.stats.items()):
+        if not tkey.endswith(".running_mean") or tkey in sd:
+            continue
+        bn_module = tkey[: -len(".running_mean")]
+        # the fused conv is a Sequential/named sibling of the BN: require
+        # the candidate bias to live under the BN's parent module; prefer
+        # an index-matched sibling (bn1<->conv1; Sequential .1<->.0), then
+        # longest common prefix
+        parent, bn_comp = bn_module.rsplit(".", 1)
+        parent += "."
+        bn_digit = re.search(r"(\d+)$", bn_comp)
+        best, best_score = None, (-1, -1)
+        for cand in loose_biases:
+            if cand not in sd or not cand.startswith(parent):
+                continue  # claimed by an earlier BN / different module
+            comp = cand[: -len(".bias")][len(parent):].split(".", 1)[0]
+            digit = re.search(r"(\d+)$", comp)
+            if bn_comp.isdigit() and comp.isdigit():
+                idx_match = int(comp) == int(bn_comp) - 1
+            elif bn_digit and digit:
+                idx_match = digit.group(1) == bn_digit.group(1)
+            else:
+                idx_match = False
+            lcp = 0
+            for a, b in zip(bn_module, cand):
+                if a != b:
+                    break
+                lcp += 1
+            score = (1 if idx_match else 0, lcp)
+            if score > best_score:
+                best, best_score = cand, score
+        if best is None:
+            continue  # leave missing; convert() reports it readably
+        bias = np.asarray(sd.pop(best), np.float32)
+        width = bias.shape[0]
+        eps = eps_for(bn_module)
+        sd[f"{bn_module}.weight"] = np.ones(width, np.float32)
+        sd[f"{bn_module}.bias"] = bias
+        sd[f"{bn_module}.running_mean"] = np.zeros(width, np.float32)
+        sd[f"{bn_module}.running_var"] = np.full(width, 1.0 - eps, np.float32)
+    return sd
 
 
 def synthesize_state_dict(
