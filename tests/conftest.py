@@ -20,3 +20,12 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    # two-tier suite (round-3 verdict item 7): heavyweight parity/engine
+    # files are marked slow; the default CI tier is `pytest -m "not slow"`
+    # (< 5 min on a 1-core host), the full tier drops the filter.
+    config.addinivalue_line(
+        "markers", "slow: heavyweight parity/engine test (full tier only)"
+    )

@@ -11,6 +11,9 @@ from stereoscene_tpu.engine.eval import make_eval_step
 from stereoscene_tpu.engine.train import step_lr_schedule
 from stereoscene_tpu.parallel.mesh import make_mesh
 
+# full tier only: train/eval loop, checkpoint/preemption/resume
+pytestmark = pytest.mark.slow
+
 
 def test_step_lr_schedule():
     sched = step_lr_schedule(1e-4, steps_per_epoch=10, milestones=(2, 3))

@@ -28,10 +28,13 @@ from stereoscene_tpu.utils.convert_reference import (
 )
 from tests.test_models import TINY
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("STEREOSCENE_SKIP_SLOW") == "1",
-    reason="slow mid-shape parity skipped",
-)
+pytestmark = [
+    pytest.mark.slow,  # full tier only: 192x640 mid-shape golden parity
+    pytest.mark.skipif(
+        os.environ.get("STEREOSCENE_SKIP_SLOW") == "1",
+        reason="slow mid-shape parity skipped",
+    ),
+]
 
 # quarter-flagship shapes over the tiny channel widths (channel count does
 # not change padding/warp/binning behavior; shape does)

@@ -13,6 +13,11 @@ from stereoscene_tpu.engine.train import (
 )
 from stereoscene_tpu.models.detector import BEVDepthOccupancy
 
+import pytest
+
+# full tier only: end-to-end training overfit
+pytestmark = pytest.mark.slow
+
 
 def test_overfit_single_batch():
     import __graft_entry__ as graft

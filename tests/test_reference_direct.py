@@ -31,9 +31,13 @@ import torch.nn.functional as F
 
 REF_ROOT = "/root/reference/projects/mmdet3d_plugin"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_ROOT), reason="reference tree not available"
-)
+pytestmark = [
+    # full tier only: imports and executes the reference's own modules
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REF_ROOT), reason="reference tree not available"
+    ),
+]
 
 
 def _load(name: str, relpath: str):

@@ -11,6 +11,11 @@ from stereoscene_tpu.models.detector import BEVDepthOccupancy
 from stereoscene_tpu.parallel.mesh import make_mesh
 from stereoscene_tpu.parallel.spatial import shard_voxels
 
+import pytest
+
+# full tier only: sharded-vs-unsharded grad parity (507 leaves)
+pytestmark = pytest.mark.slow
+
 
 def test_spatial_sharding_matches_unsharded():
     from tests.test_models import TINY, _tiny_batch

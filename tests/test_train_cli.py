@@ -9,6 +9,9 @@ import sys
 import numpy as np
 import pytest
 
+# full tier only: subprocess CLI end-to-end on a synthetic fixture
+pytestmark = pytest.mark.slow
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
