@@ -23,6 +23,12 @@ grid_config = {
 
 model = dict(
     img_view_transformer=dict(grid_config=grid_config),
+    # stream the ce/sem_scal/geo_scal evaluation over 16 Y-slabs: one
+    # shard's 2x-upsampled fp32 loss tensors (>1.3 GB each at 8-way
+    # sharding) otherwise dominate backward liveness (PERF.md round 4)
+    pts_bbox_head=dict(
+        semkitti_loss_weight_cfg=dict(stream_voxel_chunks=16),
+    ),
 )
 
 tpu = dict(

@@ -191,6 +191,13 @@ class LossConfig:
     ohem_topk: float = 0.25
     downsample: int = 8
     dbound: Tuple[float, float, float] = (2.0, 58.0, 0.5)
+    # > 0 enables the scan-over-Y-slabs streaming evaluation of the
+    # ce/sem_scal/geo_scal triple (losses/streaming.py): the 2x-upsampled
+    # fp32 logits never exist at full size. Exact same math; required for
+    # the 512x512x64 variant whose upsampled loss tensors (>1.3 GB/shard
+    # before softmax copies) thrash compiler liveness (PERF.md round 3).
+    # Only valid when the extra losses (ohem/lovasz/dice/lga) are off.
+    stream_voxel_chunks: int = 0
 
 
 def compute_losses(
@@ -205,11 +212,34 @@ def compute_losses(
     gt = batch["gt_occ"]
 
     for level, logits in enumerate(outputs["output_voxels"]):
+        tag = str(level)
+        if cfg.stream_voxel_chunks > 0:
+            if any((cfg.voxel_ohem, cfg.voxel_lovasz, cfg.voxel_dice,
+                    cfg.voxel_lga)):
+                raise ValueError(
+                    "stream_voxel_chunks only covers ce/sem_scal/geo_scal; "
+                    "disable ohem/lovasz/dice/lga or the streaming path"
+                )
+            from ..losses.streaming import streaming_voxel_losses
+
+            terms = streaming_voxel_losses(
+                logits, gt, class_weights, cfg.stream_voxel_chunks
+            )
+            if cfg.voxel_ce > 0:
+                losses[f"loss_voxel_ce_{tag}"] = cfg.voxel_ce * terms["ce"]
+            if cfg.voxel_sem_scal > 0:
+                losses[f"loss_voxel_sem_scal_{tag}"] = (
+                    cfg.voxel_sem_scal * terms["sem_scal"]
+                )
+            if cfg.voxel_geo_scal > 0:
+                losses[f"loss_voxel_geo_scal_{tag}"] = (
+                    cfg.voxel_geo_scal * terms["geo_scal"]
+                )
+            continue
         if logits.shape[1:4] != gt.shape[1:4]:
             logits = resize_trilinear(
                 logits.astype(jnp.float32), gt.shape[1:4]
             )
-        tag = str(level)
         if cfg.voxel_ce > 0:
             losses[f"loss_voxel_ce_{tag}"] = cfg.voxel_ce * ce_ssc_loss(
                 logits, gt, class_weights

@@ -39,6 +39,10 @@ def main():
                    help="also remat the voxel-side stack (bev_with_cp) -- "
                         "needed for B=2 to fit HBM (B=2 with backbone-only "
                         "remat: OOM 18.02G/15.75G, measured round 3)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient accumulation steps (optax.MultiSteps); "
+                        "each timed iteration is ONE microbatch step, so "
+                        "frames/sec stays comparable with --accum 1")
     args = p.parse_args()
 
     import jax
@@ -97,7 +101,8 @@ def main():
         )
         jax.block_until_ready(variables)
 
-        state = create_train_state(model, variables, steps_per_epoch=100)
+        state = create_train_state(model, variables, steps_per_epoch=100,
+                                   accumulate_steps=args.accum)
         train_step = make_train_step(
             model,
             LossConfig(downsample=cfg.downsample, dbound=cfg.dbound),
@@ -135,6 +140,7 @@ def main():
             "loss": round(loss, 4),
             "with_cp": args.with_cp,
             "bev_cp": args.bev_cp,
+            "accum": args.accum,
         }), flush=True)
 
 

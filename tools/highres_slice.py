@@ -31,6 +31,10 @@ def main():
                         "inference forward)")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--stream-chunks", type=int, default=16,
+                   help="scan-over-slabs streaming voxel loss chunks "
+                        "(0 = monolithic upsample+loss, the round-3 "
+                        "liveness-thrashing path); --train only")
     args = p.parse_args()
 
     import jax
@@ -112,8 +116,13 @@ def main():
         )
 
         state = create_train_state(model, variables, steps_per_epoch=10)
+        chunks = args.stream_chunks
+        if chunks > 0 and cfg.grid_shape[1] % chunks:
+            chunks = max(d for d in range(1, chunks + 1)
+                         if cfg.grid_shape[1] % d == 0)
         train_step = make_train_step(
-            model, LossConfig(downsample=cfg.downsample, dbound=cfg.dbound),
+            model, LossConfig(downsample=cfg.downsample, dbound=cfg.dbound,
+                              stream_voxel_chunks=chunks),
             bf16=args.bf16,  # the highres config trains in bf16 compute
         )
         jitted = jax.jit(train_step, donate_argnums=(0,))

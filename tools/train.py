@@ -192,6 +192,7 @@ def main():
         voxel_geo_scal=loss_w.get("voxel_geo_scal", 1.0),
         voxel_ohem=loss_w.get("voxel_ohem", 0.0),
         voxel_lovasz=loss_w.get("voxel_lovasz", 0.0),
+        stream_voxel_chunks=loss_w.get("stream_voxel_chunks", 0),
         loss_depth_weight=cfg["model"]["img_view_transformer"].get(
             "loss_depth_weight", 1.0
         ),
