@@ -42,9 +42,10 @@ def main():
     mlp = jnp.asarray(rng.randn(B, 30), jnp.float32)
     calib = jnp.asarray(np.full((B,), 707.0 * 0.54, np.float32))
 
-    # static splat plan with realistic in-bounds fraction (~44%)
+    # static splat plan with the bench calibration's row count: the real
+    # group-8 plan carries 547840 rows = 0.637 * P (tools/probe_view_group)
     p_total = D * fH * fW
-    p_pad = int(0.45 * p_total)
+    p_pad = int(0.637 * p_total)
     order = np.sort(rng.randint(0, p_total, size=(B, p_pad))).astype(np.int32)
     ranks = np.sort(rng.randint(0, num_voxels, size=(B, p_pad))).astype(np.int32)
     plan = (jnp.asarray(order), jnp.asarray(ranks))

@@ -34,7 +34,15 @@ def make_variables(model, init_args, seed=0, **init_kwargs):
             return np.zeros(leaf.shape, np.uint32)
         if "scale" in name or "var" in name:
             arr = np.ones(leaf.shape, np.float32)
-        elif "bias" in name or "mean" in name or "gamma" in name:
+        elif "gamma" in name or "alpha" in name:
+            # NONZERO residual gates: probes close variables over as jit
+            # constants (weights-as-args exceed the remote-compile request
+            # limit), and zero-init gates would let XLA constant-fold the
+            # whole gated branch away — trained checkpoints have nonzero
+            # gates, so a timing probe must too (round-4 finding: the MIE
+            # marginal measured 5+ ms low with folded gates).
+            arr = np.full(leaf.shape, 0.1, np.float32)
+        elif "bias" in name or "mean" in name:
             arr = np.zeros(leaf.shape, np.float32)
         else:
             fan_in = int(np.prod(leaf.shape[:-1])) or 1
