@@ -259,6 +259,57 @@ def _slice4d_conv_s2_dpack(x, w):
     return _conv2d(xcat, w2, stride=2)
 
 
+def _slice4d_deconv_k3s2_subpixel(x, kernel, dtype):
+    """torch ConvTranspose3d(k3, s2, p1, op1) on [D,H,W,Ci] — subpixel form.
+
+    The lhs-dilated lowering (_slice4d_deconv_k3s2) stencils 9 H/W taps over
+    an input that is 3/4 zeros: 2x the useful MACs at 3*Co output lanes.
+    Here every output phase gets its own (zero-padded) 2x2 sub-kernel and
+    ALL 12 (3 depth taps x 4 HW phases) land in the output channels of ONE
+    stride-1 conv2d over the small input — 2.25x fewer MACs, 12*Co lanes —
+    followed by the depth shift-add and a pure phase-interleave reshape.
+    In the 5D domain this lost to the depth-to-space relayout (PERF.md
+    round-2 subpixel study); in the rank-4 agg4d domain the interleave is
+    the only relayout left and it fuses with the consumer.
+
+    Tap algebra (per dim, torch o = 2i + k - 1): even output 2m <- k=1 @ m;
+    odd 2m+1 <- k=2 @ m  +  k=0 @ m+1 (zero past the edge, op=1 semantics).
+    """
+    d, h, wd, ci = x.shape
+    co = kernel.shape[-1]
+    w = kernel.astype(dtype)  # [kd, kh, kw, ci, co]
+    zh = jnp.zeros_like(w[:, :1])
+    # H phases -> new axis a in {0,1} = input row offset
+    wh = jnp.stack(
+        [
+            jnp.concatenate([w[:, 1:2], zh], axis=1),           # ph = 0
+            jnp.concatenate([w[:, 2:3], w[:, 0:1]], axis=1),    # ph = 1
+        ],
+        axis=0,
+    )  # [ph, kd, a, kw, ci, co]
+    zw = jnp.zeros_like(wh[:, :, :, :1])
+    wf = jnp.stack(
+        [
+            jnp.concatenate([wh[:, :, :, 1:2], zw], axis=3),    # pw = 0
+            jnp.concatenate(
+                [wh[:, :, :, 2:3], wh[:, :, :, 0:1]], axis=3
+            ),                                                  # pw = 1
+        ],
+        axis=0,
+    )  # [pw, ph, kd, a, b, ci, co]
+    wf = jnp.transpose(wf, (3, 4, 5, 2, 1, 0, 6)).reshape(
+        2, 2, ci, 12 * co
+    )  # [a, b, ci, (kd, ph, pw, co)]
+    z = _conv2d(x.astype(dtype), wf, padding=0, pad2=[(0, 1), (0, 1)])
+    z = z.reshape(d, h, wd, 3, 2, 2, co)
+    even = z[:, :, :, 1]
+    zp = jnp.pad(z, ((0, 1),) + ((0, 0),) * 6)
+    odd = zp[0:d, :, :, 2] + zp[1:d + 1, :, :, 0]
+    y = jnp.stack([even, odd], axis=1)            # [d, pd, h, wd, ph, pw, co]
+    y = jnp.transpose(y, (0, 1, 2, 4, 3, 5, 6))   # [d, pd, h, ph, wd, pw, co]
+    return y.reshape(2 * d, 2 * h, 2 * wd, co)
+
+
 def _slice4d_deconv_k3s2(x, kernel, dtype):
     """torch ConvTranspose3d(k3, s2, p1, op1) on [D,H,W,Ci] (depth-phase;
     same algebra as _dphase_deconv_k3s2 without the 5D round-trip)."""
@@ -674,7 +725,10 @@ class ConvTransposeTorch(nn.Module):
             # slice-packed rank-4 input (agg4d domain)
             assert k == (3, 3, 3) and s == (2, 2, 2) and p == (1, 1, 1) \
                 and op == (1, 1, 1), (k, s, p, op)
-            y = _slice4d_deconv_k3s2(x, kernel, dtype)
+            if os.environ.get("STEREOSCENE_AGG4D_SUBPIXEL", "0") == "1":
+                y = _slice4d_deconv_k3s2_subpixel(x, kernel, dtype)
+            else:
+                y = _slice4d_deconv_k3s2(x, kernel, dtype)
             if self.use_bias:
                 bias = self.param(
                     "bias", nn.initializers.zeros, (self.features,),

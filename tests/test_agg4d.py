@@ -19,6 +19,7 @@ from stereoscene_tpu.models.layers import (
     _slice4d_conv_s1_zpack,
     _slice4d_conv_s2_dpack,
     _slice4d_deconv_k3s2,
+    _slice4d_deconv_k3s2_subpixel,
     _plain_conv3d,
 )
 from stereoscene_tpu.models.stereo_volume import GwcVolumeEncoder, Hourglass3D
@@ -61,6 +62,11 @@ def test_slice4d_deconv_exact():
     assert got.shape == ref.shape == (2 * d, 2 * h, 2 * w, co)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    got_sub = _slice4d_deconv_k3s2_subpixel(x, k, jnp.float32)
+    assert got_sub.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got_sub), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
 
 
