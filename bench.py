@@ -109,6 +109,7 @@ def main():
     )
     batch["splat_order"] = jnp.asarray(planned["splat_order"])
     batch["splat_ranks"] = jnp.asarray(planned["splat_ranks"])
+    batch["splat_bounds"] = jnp.asarray(planned["splat_bounds"])
 
     # Throughput benchmark: parameter *values* are irrelevant, so build the
     # variables tree from eval_shape with cheap host randomness instead of

@@ -274,6 +274,10 @@ class BEVDepthOccupancy(nn.Module):
             # static splat_group attribute (set from cfg above); the
             # SplatPlanCache producer validates the plan against that cfg.
             ranks = (batch["splat_order"], batch["splat_ranks"])
+            if "splat_bounds" in batch:
+                # static segment boundaries -> scatter-free cumsum splat
+                # (ops/voxel_pool.segment_sum_bounds)
+                ranks = ranks + (batch["splat_bounds"],)
         else:
             ranks = self.compute_ranks(batch)
         # train positional: nn.remat(static_argnums) ignores keyword args

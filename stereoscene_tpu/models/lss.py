@@ -95,11 +95,13 @@ class ViewTransformerLiftSplatShootVoxel(nn.Module):
         # fused lift + splat (ref :517-523); fp32 accumulate in the reduction
         if isinstance(ranks, tuple):
             order, ranks_sorted = ranks[0], ranks[1]
+            bounds = ranks[2] if len(ranks) > 2 else None
             group = self.splat_group
             bev_feat = lift_splat_static(
                 fused_prob.astype(jnp.float32),
                 img_feat.astype(jnp.float32),
                 order, ranks_sorted, self.grid_shape, group=group,
+                bounds=bounds,
             ).astype(feat_left.dtype)
         else:
             bev_feat = lift_splat(

@@ -116,6 +116,23 @@ def build_plan(
     return order, rs
 
 
+def plan_bounds(
+    ranks_sorted: np.ndarray, num_voxels: int, group: int = 1
+) -> np.ndarray:
+    """Segment boundaries of a sorted plan over its (pre-reduced) rows.
+
+    Returns [num_voxels + 1] int32 with rows [bounds[v], bounds[v+1]) of the
+    group-pre-reduced value array belonging to voxel v (pad-sentinel rows
+    fall past bounds[num_voxels]). Feeds the scatter-free device reduction
+    ``voxel_pool.segment_sum_bounds`` — the boundaries are static per
+    calibration, so the device never scatters (SURVEY §7 static-rank
+    insight taken one step further than the sorted segment-sum)."""
+    rs_pre = np.asarray(ranks_sorted)[::group]
+    return np.searchsorted(
+        rs_pre, np.arange(num_voxels + 1), side="left"
+    ).astype(np.int32)
+
+
 def validate_plan_group(ranks_sorted: np.ndarray, group: int) -> None:
     """Assert no ``group``-row block of a plan straddles a voxel boundary.
 
@@ -173,7 +190,9 @@ class SplatPlanCache:
         self.num_voxels = num_voxels
         self.group = int(group)
         self.p_pad: Optional[int] = None
-        self._cache: Dict[bytes, Tuple[np.ndarray, np.ndarray]] = {}
+        self._cache: Dict[
+            bytes, Tuple[np.ndarray, np.ndarray, np.ndarray]
+        ] = {}
 
     def _key(self, sample_i: Dict[str, np.ndarray]) -> bytes:
         return b"".join(
@@ -184,7 +203,7 @@ class SplatPlanCache:
 
     def attach(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         b = np.asarray(batch["rots"]).shape[0]
-        orders, rankss = [], []
+        orders, rankss, boundss = [], [], []
         for i in range(b):
             sample = {
                 k: np.asarray(batch[k])[i : i + 1]
@@ -202,15 +221,21 @@ class SplatPlanCache:
                         ranks, self.num_voxels, group=self.group
                     )
                     self.p_pad = len(first[0])
-                hit = build_plan(
+                order, rs = build_plan(
                     ranks, self.num_voxels, self.p_pad, group=self.group
+                )
+                hit = (
+                    order, rs,
+                    plan_bounds(rs, self.num_voxels, group=self.group),
                 )
                 self._cache[key] = hit
             orders.append(hit[0])
             rankss.append(hit[1])
+            boundss.append(hit[2])
         out = dict(batch)
         out["splat_order"] = np.stack(orders)
         out["splat_ranks"] = np.stack(rankss)
+        out["splat_bounds"] = np.stack(boundss)
         return out
 
     def wrap(self, loader):

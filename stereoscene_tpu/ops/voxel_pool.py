@@ -22,8 +22,68 @@ kernels serve bev_pool, the BEVDepth-style ``voxel_pooling`` alternate
 
 from __future__ import annotations
 
+from functools import partial
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def segment_sum_bounds(vals, rk, bounds, num_voxels):
+    """Sorted segment-sum as cumsum + static-boundary gather-diff.
+
+    TPU scatter (what ``segment_sum`` lowers to) is the slowest primitive in
+    the splat; with a host-built static plan the segment boundaries are data,
+    not control, so the whole reduction becomes scatter-free:
+
+        out[v] = cs[bounds[v+1]] - cs[bounds[v]],  cs = exclusive-cumsum(vals)
+
+    and the backward is a pure gather: dvals[i] = dout[rk[i]] (zero for the
+    pad sentinel). Both directions are gathers — no scatter in forward OR
+    backward, unlike ``segment_sum`` whose transpose is a gather but whose
+    forward is a scatter.
+
+    Precision: cumsum-then-difference cancels; with fp32 cumsum the absolute
+    error is ~eps * |running sum| ~ 1e-4 at bench shapes — far below the
+    bf16 cast of the consumer (tests/test_splat_plan.py checks 1e-3).
+
+    Args:
+      vals: [P, C] fp32 sorted per-point features (pad rows zero-weighted).
+      rk: [P] int32 sorted ranks (pad sentinel >= num_voxels); used only by
+        the backward gather.
+      bounds: [num_voxels + 1] int32 host-precomputed row boundaries
+        (``splat_plan.plan_bounds``): rows [bounds[v], bounds[v+1]) belong
+        to voxel v.
+    Returns:
+      [num_voxels, C] summed features.
+    """
+    cs = jnp.cumsum(vals, axis=0)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+    gb = jnp.take(cs, bounds, axis=0)
+    return gb[1:] - gb[:-1]
+
+
+def _ssb_fwd(vals, rk, bounds, num_voxels):
+    cs = jnp.cumsum(vals, axis=0)
+    cs = jnp.concatenate([jnp.zeros_like(cs[:1]), cs], axis=0)
+    gb = jnp.take(cs, bounds, axis=0)
+    return gb[1:] - gb[:-1], (rk, bounds.shape)
+
+
+def _ssb_bwd(num_voxels, res, dout):
+    rk, bshape = res
+    dpad = jnp.concatenate([dout, jnp.zeros_like(dout[:1])], axis=0)
+    dvals = jnp.take(dpad, jnp.minimum(rk, num_voxels), axis=0)
+    return (
+        dvals,
+        np.zeros(rk.shape, jax.dtypes.float0),
+        np.zeros(bshape, jax.dtypes.float0),
+    )
+
+
+segment_sum_bounds.defvjp(_ssb_fwd, _ssb_bwd)
 
 
 def voxel_pool_scatter(
@@ -66,6 +126,7 @@ def lift_splat_static(
     ranks_sorted: jnp.ndarray,
     grid_shape: tuple[int, int, int],
     group: int = 1,
+    bounds: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
     """Fused lift + splat over a host-precomputed static plan
     (ops/splat_plan.py): points arrive pre-sorted by voxel rank and compacted
@@ -93,6 +154,11 @@ def lift_splat_static(
         group=1 plans; grouped plans always use the sorted segment-sum
         (their pre-reduced row count is no longer CHUNK-aligned, which the
         Pallas kernel's DMA tiling requires).
+      bounds: optional [B, num_voxels + 1] int32 host-precomputed segment
+        boundaries over the (group-pre-reduced) plan rows
+        (``splat_plan.plan_bounds``). When present, the reduction is the
+        scatter-free cumsum + boundary gather-diff (``segment_sum_bounds``)
+        unless ``STEREOSCENE_STATIC_SPLAT`` forces another backend.
     Returns:
       [B, X, Y, Z, C] pooled voxel features (float32).
     """
@@ -110,11 +176,11 @@ def lift_splat_static(
     # future XLA revisits.
     import os
 
-    use_pallas = on_tpu and os.environ.get(
-        "STEREOSCENE_STATIC_SPLAT", "seg"
-    ) == "pallas"
+    backend = os.environ.get("STEREOSCENE_STATIC_SPLAT", "cumsum")
+    use_pallas = on_tpu and backend == "pallas"
+    use_cumsum = bounds is not None and backend == "cumsum"
 
-    def one(dp, feat, od, rk):
+    def one(dp, feat, od, rk, bd):
         if group > 1:
             # group-aligned plan (ops/splat_plan.py build_plan(group=G)):
             # every G consecutive rows share a voxel, pad rows carry the
@@ -127,15 +193,20 @@ def lift_splat_static(
                 feat.reshape(-1, c)[odc % (fh * fw)].astype(jnp.float32)
             )
             vals = vals.reshape(-1, group, c).sum(axis=1)
-            out = jax.ops.segment_sum(
-                vals, jnp.minimum(rk[::group], num_voxels),
-                num_segments=num_voxels + 1, indices_are_sorted=True,
-            )[:num_voxels]
+            if use_cumsum:
+                out = segment_sum_bounds(vals, rk[::group], bd, num_voxels)
+            else:
+                out = jax.ops.segment_sum(
+                    vals, jnp.minimum(rk[::group], num_voxels),
+                    num_segments=num_voxels + 1, indices_are_sorted=True,
+                )[:num_voxels]
             return out.reshape(num_x, num_y, num_z, c)
         vals = dp.reshape(-1)[od, None].astype(jnp.float32) * (
             feat.reshape(-1, c)[od % (fh * fw)].astype(jnp.float32)
         )
-        if use_pallas:
+        if use_cumsum:
+            out = segment_sum_bounds(vals, rk, bd, num_voxels)
+        elif use_pallas:
             from .pallas_splat import _splat_sorted
 
             out = _splat_sorted(vals, rk, num_voxels, False)
@@ -150,7 +221,8 @@ def lift_splat_static(
     # lowers poorly on this backend (serializing wrapper), and the per-sample
     # kernels pipeline fine as independent calls
     return jnp.stack(
-        [one(depth_prob[i], img_feat[i], order[i], ranks_sorted[i])
+        [one(depth_prob[i], img_feat[i], order[i], ranks_sorted[i],
+             None if bounds is None else bounds[i])
          for i in range(b)]
     )
 

@@ -10,11 +10,13 @@ import __graft_entry__ as graft
 from stereoscene_tpu.ops.splat_plan import (
     SplatPlanCache,
     build_plan,
+    plan_bounds,
     plan_budget,
 )
 from stereoscene_tpu.ops.voxel_pool import (
     lift_splat,
     lift_splat_static,
+    segment_sum_bounds,
     voxel_pool_scatter,
 )
 
@@ -43,6 +45,73 @@ def test_static_plan_matches_scatter():
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_cumsum_bounds_matches_scatter_and_grads():
+    """Scatter-free cumsum splat: values AND input grads must match the
+    dynamic scatter path for group=1 and group=8 plans."""
+    rng = np.random.RandomState(1)
+    d, fh, fw, c = 6, 4, 5, 8
+    grid = (8, 8, 4)
+    nvox = int(np.prod(grid))
+    p = d * fh * fw
+    ranks = np.where(
+        rng.rand(p) < 0.4, rng.randint(0, nvox, p), nvox
+    ).astype(np.int32)
+    dp = rng.rand(1, d, fh, fw).astype(np.float32)
+    feat = rng.randn(1, fh, fw, c).astype(np.float32)
+
+    ref_fn = lambda a, b: lift_splat(  # noqa: E731
+        a, b, jnp.asarray(ranks[None]), grid
+    ).sum() * 2.0 + (lift_splat(
+        a, b, jnp.asarray(ranks[None]), grid) ** 2).sum()
+    ref = lift_splat(jnp.asarray(dp), jnp.asarray(feat),
+                     jnp.asarray(ranks[None]), grid)
+    ref_g = jax.grad(ref_fn, argnums=(0, 1))(
+        jnp.asarray(dp), jnp.asarray(feat))
+
+    for g in (1, 8):
+        order, rs = build_plan(ranks, nvox, group=g)
+        bd = plan_bounds(rs, nvox, group=g)
+        args = (jnp.asarray(order[None]), jnp.asarray(rs[None]), grid)
+
+        def run(a, b, args=args, g=g, bd=bd):
+            return lift_splat_static(
+                a, b, *args, group=g, bounds=jnp.asarray(bd[None])
+            )
+
+        out = run(jnp.asarray(dp), jnp.asarray(feat))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        loss = lambda a, b: run(a, b).sum() * 2.0 + (run(a, b) ** 2).sum()  # noqa: E731
+        got_g = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(dp), jnp.asarray(feat))
+        for gg, rg in zip(got_g, ref_g):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_bounds_unit():
+    """Direct op check incl. empty segments, pad sentinel, jit."""
+    vals = jnp.asarray(np.arange(12, dtype=np.float32).reshape(6, 2))
+    rk = jnp.asarray(np.array([0, 0, 2, 2, 2, 5], np.int32))  # 5 = sentinel
+    nv = 5
+    bd = jnp.asarray(plan_bounds(np.asarray(rk), nv))
+    out = jax.jit(
+        lambda v: segment_sum_bounds(v, rk, bd, nv)
+    )(vals)
+    expect = np.zeros((5, 2), np.float32)
+    expect[0] = [0 + 2, 1 + 3]
+    expect[2] = [4 + 6 + 8, 5 + 7 + 9]
+    np.testing.assert_allclose(np.asarray(out), expect)
+    # backward: dvals[i] = dout[rk[i]], zero for the sentinel row
+    dv = jax.grad(
+        lambda v: (segment_sum_bounds(v, rk, bd, nv)
+                   * jnp.arange(10).reshape(5, 2)).sum()
+    )(vals)
+    expect_dv = np.array(
+        [[0, 1], [0, 1], [4, 5], [4, 5], [4, 5], [0, 0]], np.float32)
+    np.testing.assert_allclose(np.asarray(dv), expect_dv)
 
 
 def test_plan_budget_and_overflow():

@@ -39,17 +39,20 @@ def main():
     print(f"# input {imgs.shape} {imgs.dtype}, arch={cfg.backbone_arch}",
           flush=True)
 
+    # NB: unlike the view-stage probes, the backbone's params are too large
+    # to close over as jit constants (the inlined-constant MLIR exceeds the
+    # relay's remote-compile request limit, HTTP 413) — pass them as args.
     prev = 0.0
     for k in range(1, 7):
         out_indices = (k,) if k <= 6 else cfg.backbone_out_indices
         m = CustomEfficientNet(arch=cfg.backbone_arch, out_indices=out_indices)
         v = make_variables(m, (imgs,))
 
-        def run(x, m=m, v=v):
+        def run(x, v, m=m):
             outs = m.apply(v, x, train=False)
             return sum(o.astype(jnp.float32).mean() for o in outs)
 
-        t = timeit(run, imgs)
+        t = timeit(run, imgs, v)
         print(f"through stage {k}: {t:8.2f} ms  (marginal {t - prev:+6.2f})",
               flush=True)
         prev = t
@@ -59,11 +62,11 @@ def main():
                             out_indices=cfg.backbone_out_indices)
     v_bb = make_variables(bb, (imgs,))
 
-    def run_bb(x):
-        outs = bb.apply(v_bb, x, train=False)
+    def run_bb(x, v):
+        outs = bb.apply(v, x, train=False)
         return sum(o.astype(jnp.float32).mean() for o in outs)
 
-    t_bb = timeit(run_bb, imgs)
+    t_bb = timeit(run_bb, imgs, v_bb)
     print(f"full backbone : {t_bb:8.2f} ms", flush=True)
 
     feats = jax.eval_shape(lambda x: bb.apply(v_bb, x, train=False), imgs)
@@ -77,19 +80,19 @@ def main():
     )
     v_neck = make_variables(neck, (feats_c,))
 
-    def run_neck(f0, rest):
-        return neck.apply(v_neck, (f0,) + rest, train=False).astype(
+    def run_neck(f0, rest, v):
+        return neck.apply(v, (f0,) + rest, train=False).astype(
             jnp.float32).mean()
 
-    t_neck = timeit(run_neck, feats_c[0], feats_c[1:])
+    t_neck = timeit(run_neck, feats_c[0], feats_c[1:], v_neck)
     print(f"neck standalone: {t_neck:8.2f} ms", flush=True)
 
-    def run_full(x):
-        outs = bb.apply(v_bb, x, train=False)
-        y = neck.apply(v_neck, outs, train=False)
+    def run_full(x, v1, v2):
+        outs = bb.apply(v1, x, train=False)
+        y = neck.apply(v2, outs, train=False)
         return y.astype(jnp.float32).mean()
 
-    t_full = timeit(run_full, imgs)
+    t_full = timeit(run_full, imgs, v_bb, v_neck)
     print(f"backbone+neck : {t_full:8.2f} ms  (neck marginal "
           f"{t_full - t_bb:+6.2f})", flush=True)
 
