@@ -348,9 +348,12 @@ class _SlicePackConv3d(nn.Module):
     def __call__(self, x):
         k = self.kernel_size
         ci = x.shape[-1]
+        # lecun_normal matches the 5D paths (nn.Conv default, _ZPackConv3d,
+        # _DPackConv3d) so initializing a model with agg4d active draws the
+        # same weight distribution as the 5D graph (advisor round-4 finding)
         kernel = self.param(
             "kernel",
-            nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
+            nn.initializers.lecun_normal(),
             (*k, ci, self.features),
             jnp.float32,
         )

@@ -470,6 +470,7 @@ def adapt_fused_state_dict(
     state_dict: Dict[str, np.ndarray],
     name_map: NameMap,
     eps_for: Callable[[str], float] = _default_bn_eps,
+    target_stats: Dict = None,
 ) -> Dict[str, np.ndarray]:
     """Adapt a checkpoint saved after the reference's ``fuse_conv_bn``
     (tools/misc/fuse_conv_bn.py) to the unfused name map.
@@ -484,8 +485,21 @@ def adapt_fused_state_dict(
     identity statistics (gamma=1, mean=0, var=1-eps) so the reconstructed
     model computes exactly what the fused torch model did. The conv kernel
     keeps its fused scaling. Returns a new state_dict; the original is not
-    modified."""
+    modified.
+
+    Pass ``target_stats`` (the flax batch_stats tree) to pin each BN's
+    expected width: candidates whose bias length differs are skipped, and a
+    tie between two width-compatible candidates raises instead of silently
+    installing the first one's beta (advisor round-4 finding — a parent
+    module holding several equal-width fused convs with no digit
+    correspondence must fail loudly, not guess)."""
     sd = dict(state_dict)
+    stat_widths = None
+    if target_stats is not None:
+        stat_widths = {
+            p: int(np.asarray(leaf).shape[0])
+            for p, leaf in _flatten(target_stats).items()
+        }
     known = {r[0] for r in name_map.params.values()}
     known |= {r[0] for r in name_map.stats.values()}
     # unconsumed conv biases = fused-BN residue candidates
@@ -505,10 +519,15 @@ def adapt_fused_state_dict(
         parent, bn_comp = bn_module.rsplit(".", 1)
         parent += "."
         bn_digit = re.search(r"(\d+)$", bn_comp)
-        best, best_score = None, (-1, -1)
+        bn_width = stat_widths.get(path) if stat_widths else None
+        best, best_score, tied = None, (-1, -1), None
         for cand in loose_biases:
             if cand not in sd or not cand.startswith(parent):
                 continue  # claimed by an earlier BN / different module
+            if bn_width is not None and np.asarray(
+                sd[cand]
+            ).shape[0] != bn_width:
+                continue  # fused-conv bias width must equal the BN width
             comp = cand[: -len(".bias")][len(parent):].split(".", 1)[0]
             digit = re.search(r"(\d+)$", comp)
             if bn_comp.isdigit() and comp.isdigit():
@@ -524,9 +543,18 @@ def adapt_fused_state_dict(
                 lcp += 1
             score = (1 if idx_match else 0, lcp)
             if score > best_score:
-                best, best_score = cand, score
+                best, best_score, tied = cand, score, None
+            elif score == best_score:
+                tied = cand
         if best is None:
             continue  # leave missing; convert() reports it readably
+        if tied is not None:
+            raise ValueError(
+                f"fused-BN adaptation is ambiguous for {bn_module}: "
+                f"candidate conv biases {best!r} and {tied!r} tie on "
+                f"(index-match, common-prefix) score {best_score}; rename "
+                f"or pre-assign one of them in the state_dict"
+            )
         bias = np.asarray(sd.pop(best), np.float32)
         width = bias.shape[0]
         eps = eps_for(bn_module)

@@ -214,3 +214,52 @@ def test_fused_bn_checkpoint_roundtrips(tiny_variables):
         np.testing.assert_allclose(
             flat_s[var_path], 1.0 - eps, rtol=1e-6, err_msg=bn_key
         )
+
+
+def test_fused_bn_ambiguous_candidates_raise():
+    """Two equal-score fused-conv bias candidates under one parent must
+    raise, not silently install the first beta; and the width filter
+    (target_stats) disambiguates candidates of different widths
+    (advisor round-4 finding)."""
+    import pytest
+
+    from stereoscene_tpu.utils.convert_reference import (
+        NameMap, adapt_fused_state_dict,
+    )
+
+    nm = NameMap()
+    # two bias-free convs + one BN, all siblings under torch module "m";
+    # neither conv name carries a digit matching the BN, so both candidates
+    # tie on (index-match=0, lcp=len("m."))
+    nm.raw_conv("convA", "m.convA", 2, bias=False)
+    nm.raw_conv("convB", "m.convB", 2, bias=False)
+    nm.batchnorm("norm", "m.norm")
+
+    def make_sd(width_a, width_b):
+        rng = np.random.RandomState(0)
+        return {
+            "m.convA.weight": rng.randn(width_a, 3, 1, 1).astype(np.float32),
+            "m.convA.bias": rng.randn(width_a).astype(np.float32),
+            "m.convB.weight": rng.randn(width_b, 3, 1, 1).astype(np.float32),
+            "m.convB.bias": rng.randn(width_b).astype(np.float32),
+            # no m.norm.* keys: the BN was fused away
+        }
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        adapt_fused_state_dict(make_sd(8, 8), nm)
+
+    # width filter: with target_stats pinning the BN width to 8, the
+    # width-4 candidate is skipped and convB's bias lands in the beta
+    sd = make_sd(4, 8)
+    stats_tree = {
+        "norm": {"BatchNorm_0": {
+            "mean": np.zeros(8, np.float32), "var": np.ones(8, np.float32),
+        }}
+    }
+    adapted = adapt_fused_state_dict(sd, nm, target_stats=stats_tree)
+    np.testing.assert_array_equal(adapted["m.norm.bias"], sd["m.convB.bias"])
+    assert "m.convA.bias" in adapted  # untouched, reported by convert()
+
+    # equal widths + target_stats: still ambiguous, still raises
+    with pytest.raises(ValueError, match="ambiguous"):
+        adapt_fused_state_dict(make_sd(8, 8), nm, target_stats=stats_tree)

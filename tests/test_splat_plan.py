@@ -224,8 +224,9 @@ def test_plan_cache_group_from_model_cfg():
 
     from stereoscene_tpu.models.detector import BEVDepthOccupancy
 
-    # pin group>1 explicitly: the invariant is vacuous at the default
-    # (group=1 since the round-4 plan-inflation finding, detector.py)
+    # pin the group explicitly rather than relying on the detector default
+    # (splat_group=8, the round-4 in-graph A/B winner, detector.py) so the
+    # cache/cfg-agreement invariant stays exercised even if the default moves
     cfg = dataclasses.replace(graft._tiny_cfg(), splat_group=8)
     model = BEVDepthOccupancy(cfg=cfg)
     g = model.cfg.splat_group
