@@ -111,6 +111,40 @@ def main():
     batch["splat_ranks"] = jnp.asarray(planned["splat_ranks"])
     batch["splat_bounds"] = jnp.asarray(planned["splat_bounds"])
 
+    # Splat-accuracy cross-check at the REAL plan size (advisor round-4):
+    # the scatter-free splat is cumsum-then-difference, whose fp32 error
+    # grows with the running sum over this plan's ~1-2M rows — CI only
+    # gates tiny shapes, so every bench run cross-checks the production
+    # plan against the scatter-based segment_sum once (one extra dispatch).
+    # Signed randn values are the harshest cancellation test; real
+    # depth-weighted features are mostly one-signed.
+    def _splat_check():
+        from stereoscene_tpu.ops.voxel_pool import segment_sum_bounds
+
+        rk = np.asarray(batch["splat_ranks"]).reshape(-1)
+        bounds = np.asarray(batch["splat_bounds"]).reshape(-1)
+        nvox = int(np.prod(cfg.grid_shape))
+        vals = np.random.RandomState(7).randn(rk.shape[0], 8).astype(
+            np.float32
+        )
+        vals[rk >= nvox] = 0.0
+        got = jax.jit(segment_sum_bounds, static_argnums=3)(
+            jnp.asarray(vals), jnp.asarray(rk), jnp.asarray(bounds), nvox
+        )
+        ref = jax.jit(
+            lambda v, r: jax.ops.segment_sum(v, r, num_segments=nvox)
+        )(jnp.asarray(vals), jnp.asarray(rk.astype(np.int32)))
+        err = float(jnp.max(jnp.abs(got - ref))
+                    / jnp.maximum(jnp.max(jnp.abs(ref)), 1e-6))
+        print(f"# splat cumsum-vs-scatter rel err at {rk.shape[0]} plan "
+              f"rows: {err:.2e}", file=sys.stderr, flush=True)
+        if err > 1e-2:
+            raise AssertionError(
+                f"cumsum splat drifted at bench plan size: rel err {err:.2e}"
+            )
+
+    _splat_check()
+
     # Throughput benchmark: parameter *values* are irrelevant, so build the
     # variables tree from eval_shape with cheap host randomness instead of
     # running the real init graph (which costs minutes of XLA compile).

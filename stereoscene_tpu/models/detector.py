@@ -24,6 +24,7 @@ accepts that dict schema.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Tuple
 
 import jax.numpy as jnp
@@ -291,6 +292,23 @@ class BEVDepthOccupancy(nn.Module):
                    img_feats=None, points_uv=None):
         # train passed positionally: nn.remat(static_argnums) does not see
         # keyword args
+
+        # agg4d extension over the BEV stage (round-4 verdict lever 5a):
+        # for B=1 inference the whole ResNet3D + FPN3D chain runs on the
+        # slice-packed rank-4 [X, Y, Z, C] grid — X is the conv2d batch dim,
+        # the depth taps are pad/slice adds (Conv3d's rank-4 dispatch), and
+        # the deblock k=s deconvs become 1x1 phase matmuls — so no 5D conv
+        # operand exists in the stage. Exact math, identical param tree
+        # (tests/test_agg4d.py); the head gets the 5D layout back.
+        from .layers import agg4d_enabled
+
+        agg4d = (
+            agg4d_enabled(voxel_feat.shape[0], train, self.cfg.bev_with_cp)
+            and not self.cfg.crp3d
+            and os.environ.get("STEREOSCENE_AGG4D_BEV", "1") != "0"
+        )
+        if agg4d:
+            voxel_feat = voxel_feat[0]
         if self.cfg.crp3d:
             voxel_outs, crp_logits = self.img_bev_encoder_backbone(
                 voxel_feat, train
@@ -299,6 +317,8 @@ class BEVDepthOccupancy(nn.Module):
             voxel_outs = self.img_bev_encoder_backbone(voxel_feat, train)
             crp_logits = None
         fused = self.img_bev_encoder_neck(voxel_outs, train)
+        if agg4d:
+            fused = fused[None]
         head_out = self.pts_bbox_head(
             [fused], points=points, img_feats=img_feats,
             points_uv=points_uv, train=train,

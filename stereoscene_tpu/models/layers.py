@@ -168,7 +168,12 @@ def _make_zpack_op(core, stride):
     def op(x, w):
         # barrier the output as well: without it the zpack forward block
         # fuses into surrounding *backward* ops (e.g. GroupNorm's) and the
-        # same NaN miscompile returns even with a correct custom bwd
+        # same NaN miscompile returns even with a correct custom bwd.
+        # STEREOSCENE_ZPACK_BARRIER=0 drops the barriers — MEASUREMENT ONLY
+        # (tools/probe_zpack_cost.py decomposes the round-4 506 ms/step):
+        # the graph is then exposed to the round-3 NaN miscompile on chip.
+        if os.environ.get("STEREOSCENE_ZPACK_BARRIER", "1") == "0":
+            return core(x, w)
         return jax.lax.optimization_barrier(core(x, w))
 
     def fwd(x, w):
@@ -176,20 +181,39 @@ def _make_zpack_op(core, stride):
 
     def bwd(res, g):
         x, w = res
-        x, w, g = jax.lax.optimization_barrier((x, w, g))
+        if os.environ.get("STEREOSCENE_ZPACK_BARRIER", "1") != "0":
+            x, w, g = jax.lax.optimization_barrier((x, w, g))
+        # f32 island: the transposed convs then run/accumulate in f32 and
+        # the grads round back to the param dtype at the converts (a bf16
+        # preferred_element_type dW over ~1M-term sums is rounding garbage).
+        # STEREOSCENE_ZPACK_BWD_F32=0 keeps the operand dtype — MEASUREMENT
+        # ONLY, isolates the island's cost share.
+        bdt = (jnp.float32
+               if os.environ.get("STEREOSCENE_ZPACK_BWD_F32", "1") != "0"
+               else x.dtype)
+        # STEREOSCENE_ZPACK_BWD=core (default, round 5): autodiff VJP of the
+        # zpack lowering itself (2D convs over the B*D batch) — same math as
+        # the plain-conv3d VJP (tests/test_zpack.py core-bwd test), 120 ms/
+        # step faster at flagship B=1 (381.9 vs 501.6, 15.7% vs 11.9% MFU)
+        # because the conv3d VJP materializes 4x-padded 5D temporaries (it
+        # OOMs outright with zpack off). The round-3 NaN bisect only tested
+        # the core VJP *without* barriers; behind the barriers it ran a
+        # 100-step on-chip burn-in clean (BURNIN_r05.json, PERF.md round-5
+        # decomposition). =conv3d restores the round-4 backward.
+        body = (core
+                if os.environ.get("STEREOSCENE_ZPACK_BWD", "core")
+                == "core"
+                else lambda xx, ww: jax.lax.conv_general_dilated(
+                    xx, ww, window_strides=(stride,) * 3,
+                    padding=[(1, 1)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                ))
 
-        def conv_f32(xx, ww):
-            # f32 island: the transposed convs then run/accumulate in f32
-            # and the grads round back to the param dtype at the converts
-            return jax.lax.conv_general_dilated(
-                xx.astype(jnp.float32), ww.astype(jnp.float32),
-                window_strides=(stride,) * 3,
-                padding=[(1, 1)] * 3,
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            )
+        def conv_b(xx, ww):
+            return body(xx.astype(bdt), ww.astype(bdt))
 
-        _, vjp = jax.vjp(conv_f32, x, w)
-        return vjp(g.astype(jnp.float32))
+        _, vjp = jax.vjp(conv_b, x, w)
+        return vjp(g.astype(bdt))
 
     op.defvjp(fwd, bwd)
     return op
@@ -308,6 +332,27 @@ def _slice4d_deconv_k3s2_subpixel(x, kernel, dtype):
     y = jnp.stack([even, odd], axis=1)            # [d, pd, h, wd, ph, pw, co]
     y = jnp.transpose(y, (0, 1, 2, 4, 3, 5, 6))   # [d, pd, h, ph, wd, pw, co]
     return y.reshape(2 * d, 2 * h, 2 * wd, co)
+
+
+def _slice4d_deconv_keqs(x, kernel, s, dtype):
+    """torch ConvTranspose3d(k=s, stride=s, p=0) on [D,H,W,Ci]: y[s*i+r] =
+    W[r] @ x[i] per phase triple r — one 1x1 conv2d to s^3*Co lanes, then a
+    pure phase interleave (fuses with the consumer in the rank-4 domain)."""
+    d, h, wd, ci = x.shape
+    co = kernel.shape[-1]
+    if s == 1:
+        return _conv2d(
+            x.astype(dtype), kernel.astype(dtype).reshape(1, 1, ci, co),
+            padding=0,
+        )
+    # [kd,kh,kw,ci,co] -> [1,1,ci,(kd kh kw co)]
+    w2 = jnp.transpose(kernel.astype(dtype), (3, 0, 1, 2, 4)).reshape(
+        1, 1, ci, s * s * s * co
+    )
+    z = _conv2d(x.astype(dtype), w2, padding=0)
+    z = z.reshape(d, h, wd, s, s, s, co)
+    z = jnp.transpose(z, (0, 3, 1, 4, 2, 5, 6))
+    return z.reshape(s * d, s * h, s * wd, co)
 
 
 def _slice4d_deconv_k3s2(x, kernel, dtype):
@@ -726,12 +771,20 @@ class ConvTransposeTorch(nn.Module):
 
         if self.ndim == 3 and x.ndim == 4:
             # slice-packed rank-4 input (agg4d domain)
-            assert k == (3, 3, 3) and s == (2, 2, 2) and p == (1, 1, 1) \
-                and op == (1, 1, 1), (k, s, p, op)
-            if os.environ.get("STEREOSCENE_AGG4D_SUBPIXEL", "0") == "1":
-                y = _slice4d_deconv_k3s2_subpixel(x, kernel, dtype)
+            if k == s and p == (0, 0, 0) and op == (0, 0, 0):
+                # kernel == stride (the FPN3D deblocks): non-overlapping —
+                # each input voxel expands to an s^3 block, so the whole op
+                # is ONE 1x1 conv2d to s^3*Co lanes + a phase interleave
+                # (torch o = i*s + k - p with p=0 maps tap k to phase k
+                # directly; no kernel flip).
+                y = _slice4d_deconv_keqs(x, kernel, s[0], dtype)
             else:
-                y = _slice4d_deconv_k3s2(x, kernel, dtype)
+                assert k == (3, 3, 3) and s == (2, 2, 2) and p == (1, 1, 1) \
+                    and op == (1, 1, 1), (k, s, p, op)
+                if os.environ.get("STEREOSCENE_AGG4D_SUBPIXEL", "0") == "1":
+                    y = _slice4d_deconv_k3s2_subpixel(x, kernel, dtype)
+                else:
+                    y = _slice4d_deconv_k3s2(x, kernel, dtype)
             if self.use_bias:
                 bias = self.param(
                     "bias", nn.initializers.zeros, (self.features,),
@@ -858,21 +911,37 @@ class GroupNorm(nn.Module):
     STEREOSCENE_GN_COMPUTE=bf16 the elementwise normalize/affine stays in
     the activation dtype while flax still reduces the statistics in fp32 —
     halves HBM traffic on the big 3D volumes when XLA can't fuse the casts.
+
+    ``packed3d``: the module normalizes a 3D grid that may arrive in the
+    slice-packed rank-4 [D, H, W, C] layout (agg4d domain, B=1) — the
+    statistics must span the depth slices too, so the grid is flattened to
+    one flax batch sample for the reduction (identical params/numerics to
+    the 5D layout; same trick as ConvGN3d). Without the flag a rank-4 input
+    is a batched 2D map [B, H, W, C] and dim 0 is a true batch axis.
     """
 
     num_groups: int
+    packed3d: bool = False
 
     @nn.compact
     def __call__(self, x):
+        shape3d = None
+        if self.packed3d and x.ndim == 4:
+            shape3d = x.shape
+            d, h, w, c = shape3d
+            x = x.reshape(1, d * h, w, c)
         orig_dtype = x.dtype
         if _NORM_KEEP_DTYPE:
-            return nn.GroupNorm(
+            y = nn.GroupNorm(
                 num_groups=self.num_groups, epsilon=1e-5, dtype=orig_dtype
             )(x)
-        y = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32
-        )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        else:
+            y = nn.GroupNorm(
+                num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32
+            )(x.astype(jnp.float32)).astype(orig_dtype)
+        if shape3d is not None:
+            y = y.reshape(shape3d)
+        return y
 
 
 import os

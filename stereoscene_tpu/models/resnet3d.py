@@ -32,14 +32,14 @@ class BasicBlock3d(nn.Module):
         residual = x
         y = Conv3d(self.features, 3, stride=self.stride, padding=1,
                    use_bias=False, name="conv1")(x)
-        y = GroupNorm(self.norm_groups, name="gn1")(y)
+        y = GroupNorm(self.norm_groups, packed3d=True, name="gn1")(y)
         y = nn.relu(y)
         y = Conv3d(self.features, 3, padding=1, use_bias=False, name="conv2")(y)
-        y = GroupNorm(self.norm_groups, name="gn2")(y)
+        y = GroupNorm(self.norm_groups, packed3d=True, name="gn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = Conv3d(self.features, 1, stride=self.stride,
                               use_bias=False, name="downsample_conv")(x)
-            residual = GroupNorm(self.norm_groups, name="downsample_gn")(
+            residual = GroupNorm(self.norm_groups, packed3d=True, name="downsample_gn")(
                 residual
             )
         return nn.relu(y + residual)
@@ -56,16 +56,16 @@ class Bottleneck3d(nn.Module):
         out_features = self.features * self.expansion
         residual = x
         y = Conv3d(self.features, 1, use_bias=False, name="conv1")(x)
-        y = nn.relu(GroupNorm(self.norm_groups, name="gn1")(y))
+        y = nn.relu(GroupNorm(self.norm_groups, packed3d=True, name="gn1")(y))
         y = Conv3d(self.features, 3, stride=self.stride, padding=1,
                    use_bias=False, name="conv2")(y)
-        y = nn.relu(GroupNorm(self.norm_groups, name="gn2")(y))
+        y = nn.relu(GroupNorm(self.norm_groups, packed3d=True, name="gn2")(y))
         y = Conv3d(out_features, 1, use_bias=False, name="conv3")(y)
-        y = GroupNorm(self.norm_groups, name="gn3")(y)
+        y = GroupNorm(self.norm_groups, packed3d=True, name="gn3")(y)
         if self.stride != 1 or x.shape[-1] != out_features:
             residual = Conv3d(out_features, 1, stride=self.stride,
                               use_bias=False, name="downsample_conv")(x)
-            residual = GroupNorm(self.norm_groups, name="downsample_gn")(
+            residual = GroupNorm(self.norm_groups, packed3d=True, name="downsample_gn")(
                 residual
             )
         return nn.relu(y + residual)
@@ -91,7 +91,7 @@ class CustomResNet3D(nn.Module):
 
         y = Conv3d(self.block_inplanes[0], 1, use_bias=False,
                    name="input_proj_conv")(x)
-        y = GroupNorm(self.norm_groups, name="input_proj_gn")(y)
+        y = GroupNorm(self.norm_groups, packed3d=True, name="input_proj_gn")(y)
         y = nn.relu(y)
 
         outs = []

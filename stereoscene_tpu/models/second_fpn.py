@@ -82,7 +82,7 @@ class SECONDFPN3D(nn.Module):
                 features=out_ch, kernel_size=s, ndim=3, stride=s,
                 use_bias=False, name=f"deblock{i}_deconv",
             )(feat)
-            y = GroupNorm(num_groups=self.norm_groups, name=f"deblock{i}_gn")(y)
+            y = GroupNorm(num_groups=self.norm_groups, packed3d=True, name=f"deblock{i}_gn")(y)
             ups.append(nn.relu(y))
         out = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
 
@@ -92,6 +92,6 @@ class SECONDFPN3D(nn.Module):
                 features=total, kernel_size=2, ndim=3, stride=2,
                 use_bias=False, name="output_deconv",
             )(out)
-            out = GroupNorm(num_groups=self.norm_groups, name="output_gn")(out)
+            out = GroupNorm(num_groups=self.norm_groups, packed3d=True, name="output_gn")(out)
             out = nn.relu(out)
         return out

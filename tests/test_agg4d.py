@@ -70,6 +70,70 @@ def test_slice4d_deconv_exact():
     )
 
 
+def test_slice4d_deconv_keqs_exact():
+    """k=s deconv (the FPN3D deblocks) phase-matmul lowering vs the
+    lhs-dilated reference, s in {1, 2, 4}."""
+    from stereoscene_tpu.models.layers import _slice4d_deconv_keqs
+
+    rng = np.random.RandomState(7)
+    d, h, w, ci, co = 4, 3, 5, 6, 7
+    x = _rand(rng, d, h, w, ci)
+    for s in (1, 2, 4):
+        k = _rand(rng, s, s, s, ci, co) * 0.2
+        flipped = jnp.flip(k, axis=(0, 1, 2))
+        ref = jax.lax.conv_general_dilated(
+            x[None], flipped, window_strides=(1, 1, 1),
+            padding=[(s - 1, s - 1)] * 3, lhs_dilation=(s, s, s),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )[0]
+        got = _slice4d_deconv_keqs(x, k, s, jnp.float32)
+        assert got.shape == ref.shape == (s * d, s * h, s * w, co), s
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+            err_msg=f"s={s}",
+        )
+
+
+def test_bev_stage_rank4_matches_rank5():
+    """ResNet3D + FPN3D (the detector's bev_encode chain) on the
+    slice-packed rank-4 grid vs the 5D graph: exact, same param tree."""
+    from stereoscene_tpu.models.resnet3d import CustomResNet3D
+    from stereoscene_tpu.models.second_fpn import SECONDFPN3D
+
+    rng = np.random.RandomState(8)
+    bb = CustomResNet3D(
+        depth=18, num_stage=3, block_inplanes=(8, 16, 32),
+        block_strides=(1, 2, 2), norm_groups=4,
+    )
+    neck = SECONDFPN3D(
+        in_channels=(8, 16, 32), out_channels=(8, 8, 8),
+        upsample_strides=(1, 2, 4), norm_groups=4,
+    )
+    x5 = _rand(rng, 1, 8, 8, 4, 6)
+    vb = bb.init(jax.random.PRNGKey(0), x5)
+    outs5 = bb.apply(vb, x5)
+    outs4 = bb.apply(vb, x5[0])
+    assert all(o.ndim == 4 for o in outs4)
+    for o5, o4 in zip(outs5, outs4):
+        np.testing.assert_allclose(
+            np.asarray(o4), np.asarray(o5[0]), rtol=1e-4, atol=1e-5
+        )
+    vn = neck.init(jax.random.PRNGKey(1), outs5)
+    f5 = neck.apply(vn, outs5)
+    f4 = neck.apply(vn, outs4)
+    assert f4.shape == f5.shape[1:]
+    np.testing.assert_allclose(
+        np.asarray(f4), np.asarray(f5[0]), rtol=1e-4, atol=1e-5
+    )
+    # identical param trees from either rank
+    vb4 = jax.tree.map(lambda a: a.shape, bb.init(jax.random.PRNGKey(0), x5[0]))
+    vb5 = jax.tree.map(lambda a: a.shape, vb)
+    assert vb4 == vb5
+    vn4 = jax.tree.map(lambda a: a.shape, neck.init(jax.random.PRNGKey(1), outs4))
+    vn5 = jax.tree.map(lambda a: a.shape, vn)
+    assert vn4 == vn5
+
+
 def test_hourglass_rank4_matches_rank5():
     rng = np.random.RandomState(2)
     hg = Hourglass3D(8)

@@ -86,6 +86,7 @@ def test_head_shapes_and_refinement():
                            np.asarray(out["all_bbox_preds"][1]))
 
 
+@pytest.mark.slow  # full tier: end-to-end training of an inactive family (its unit/shape tests stay in the fast tier); round-5 re-tiering, measured times in README
 def test_detector_end_to_end_train_decode_eval():
     """Synthetic: one GT box configuration, a few gradient steps reduce the
     loss; decode + eval produce finite, sane metrics."""

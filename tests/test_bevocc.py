@@ -94,6 +94,7 @@ def test_bevocc_loss_semantic_and_binary(head_setup):
     assert all(np.isfinite(float(v)) for v in lb.values())
 
 
+@pytest.mark.slow  # full tier: end-to-end training of an inactive family (its unit/shape tests stay in the fast tier); round-5 re-tiering, measured times in README
 def test_bevocc_loss_decreases_when_training():
     """End-to-end trainability of the head on a fixed tiny batch."""
     import optax
@@ -126,6 +127,7 @@ def test_bevocc_loss_decreases_when_training():
     assert float(loss) < l0
 
 
+@pytest.mark.slow  # full tier: end-to-end training of an inactive family (its unit/shape tests stay in the fast tier); round-5 re-tiering, measured times in README
 def test_bevocc_detector_end_to_end():
     rng = np.random.RandomState(3)
     imgs = jnp.asarray(rng.randn(1, 2, 32, 64, 3).astype(np.float32))

@@ -172,6 +172,14 @@ def grad_setup():
     loss_cfg = LossConfig(downsample=TINY.downsample, dbound=TINY.dbound)
 
     # ---- torch side ----
+    # Hermetic seeding (round-5 root cause of the round-4 red leaf):
+    # randomize_state deliberately KEEPS torch's default weight inits, which
+    # draw from the *global* RNG — without this seed the oracle's weights
+    # depend on whichever tests ran earlier in the process (full tier vs
+    # this file alone differ by O(1) in every conv kernel), so the marginal
+    # leaves of the comparison moved between hosts/selections. Seeded, the
+    # comparison is one fixed weight draw everywhere.
+    torch.manual_seed(0)
     torch_model = TorchStereoScene(TINY).eval()
     randomize_state(torch_model, seed=9)
     tb = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in batch.items()}
@@ -227,8 +235,27 @@ def test_total_loss_parity(grad_setup):
 
 
 def test_gradient_parity_all_leaves(grad_setup):
-    """dL/dtheta matches the torch oracle on every parameter leaf at
-    loose-but-bounded tolerance (normalized by the leaf's grad scale)."""
+    """dL/dtheta matches the torch oracle on every parameter leaf.
+
+    Metric (round-5 redesign after the round-4 red leaf): per leaf,
+
+        max|gj - gt|  <=  max(2e-2 * leaf_scale, 1e-4 * global_scale)
+
+    i.e. the usual rtol with an atol floor derived from the gradient field
+    itself. Rationale, measured on this harness (tools/probe_grad_leaf.py):
+    the round-4 failure (dres4.conv5_deconv.kernel, err 0.021 at leaf scale
+    2e-4 => abs diff 4e-6) sat on a leaf ~4 orders below the global grad
+    scale (~0.7), where 2% of leaf scale is single-digit-ULP territory for
+    f32 backward accumulation — the deconv VJP itself is exact to 3e-15 at
+    f64 (probe [1]), and pure reorder (jit vs eager, identical math) already
+    moves leaves by up to 2.4e-7 abs (probe [3]); torch's own conv backward
+    dispatches different SIMD kernels per host CPU, so cross-host abs noise
+    of a few e-6 is expected. The 1e-4*global floor (~7e-5 here) forgives
+    exactly that regime while still catching any real defect: a wrong sign,
+    permutation, or missing term on any leaf with scale above ~7e-5 — which
+    is every leaf that influences training — still fails the rtol branch.
+    Leaves below the floor are certified "zero at global precision".
+    """
     _, _, grads_t, grads_j = grad_setup
     paths_t = jax.tree_util.tree_leaves_with_path(grads_t)
     paths_j = {
@@ -236,6 +263,12 @@ def test_gradient_parity_all_leaves(grad_setup):
         for k, v in jax.tree_util.tree_leaves_with_path(grads_j)
     }
     assert len(paths_t) == len(paths_j) and len(paths_t) > 300
+    global_scale = max(
+        max(np.abs(np.asarray(g, np.float32)).max() for _, g in paths_t),
+        max(np.abs(g).max() for g in paths_j.values()),
+    )
+    assert global_scale > 1e-2  # a degenerate grad field would hide bugs
+    atol = 1e-4 * global_scale
     bad = []
     n_offset = 0
     for k, gt_leaf in paths_t:
@@ -253,11 +286,12 @@ def test_gradient_parity_all_leaves(grad_setup):
             assert max(np.abs(gt_leaf).max(), np.abs(gj).max()) < 1e-3, key
             continue
         scale = max(np.abs(gt_leaf).max(), np.abs(gj).max(), 1e-6)
-        err = np.abs(gj - gt_leaf).max() / scale
-        if err > 2e-2:
-            bad.append((key, float(err), float(scale)))
+        absd = np.abs(gj - gt_leaf).max()
+        if absd > max(2e-2 * scale, atol):
+            bad.append((key, float(absd / scale), float(scale)))
     assert n_offset == 2  # kernel + bias of the single DCN
     assert not bad, (
-        f"{len(bad)}/{len(paths_t)} leaves exceed normalized grad tolerance; "
+        f"{len(bad)}/{len(paths_t)} leaves exceed grad tolerance "
+        f"(atol floor {atol:.2e}); "
         f"worst: {sorted(bad, key=lambda x: -x[1])[:8]}"
     )

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -148,6 +149,7 @@ def test_multiscale_head_and_aux_losses():
     assert all(np.isfinite(float(v)) for v in losses.values())
 
 
+@pytest.mark.slow  # full tier: end-to-end training of an inactive family (its unit/shape tests stay in the fast tier); round-5 re-tiering, measured times in README
 def test_mask2former_trains():
     """End-to-end: a few gradient steps on a fixed fixture reduce the loss."""
     import optax

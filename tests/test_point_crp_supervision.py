@@ -5,6 +5,7 @@ losses, each exercised end-to-end on the synthetic fixture."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -91,6 +92,7 @@ def test_pipeline_emits_cp_mega_matrix(tmp_path):
     assert mat.max() <= 1
 
 
+@pytest.mark.slow  # full tier: end-to-end training of an inactive family (its unit/shape tests stay in the fast tier); round-5 re-tiering, measured times in README
 def test_crp_loss_trains_on_fixture():
     """loss_crp_weight > 0 runs end-to-end: detector with crp3d + the GT
     producer's matrix give a finite loss with nonzero gradients on the CRP
@@ -139,6 +141,7 @@ def test_crp_loss_trains_on_fixture():
     )
 
 
+@pytest.mark.slow  # full tier: end-to-end training of an inactive family (its unit/shape tests stay in the fast tier); round-5 re-tiering, measured times in README
 def test_point_losses_train_on_fixture():
     """supervise_points=True: the point branch output is supervised by the
     new point CE/lovasz losses; gradients reach the point head."""

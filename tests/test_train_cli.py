@@ -106,6 +106,115 @@ def test_train_and_test_cli(fixture_tree, tmp_path):
     assert "semkitti_combined_IoU" in r.stdout
 
 
+def test_convert_eval_dress_rehearsal(fixture_tree, tmp_path):
+    """First-contact path in ONE test (round-4 verdict item 7): a torch
+    ``.pth`` checkpoint -> tools/convert_checkpoint.py -> orbax ->
+    tools/test.py eval on the synthetic fixture, asserted against the torch
+    oracle's OWN eval metrics over the identical loader stream. Covers the
+    convert -> load -> eval -> metric chain exactly as a reference user
+    would first exercise it (ref: tools/test.py + mmcv load_checkpoint)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from stereoscene_tpu import metrics as ssc_metrics
+    from stereoscene_tpu.config import Config
+    from stereoscene_tpu.data import (
+        BatchLoader, PipelineConfig, SemanticKittiIndex,
+        SemanticKittiPipeline,
+    )
+    from stereoscene_tpu.engine.loop import KITTI_CLASS_NAMES
+    from stereoscene_tpu.models.detector import DetectorConfig
+    from tests.torch_oracle import TorchStereoScene, randomize_state
+
+    root, out_root = fixture_tree
+    cfg_path = _write_config(tmp_path, root, out_root)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    # ---- the "released checkpoint": a seeded torch oracle saved as .pth ----
+    cfg = Config.fromfile(str(cfg_path))
+    det_cfg = DetectorConfig.from_config(cfg)
+    torch.manual_seed(0)
+    oracle = TorchStereoScene(det_cfg).eval()
+    randomize_state(oracle, seed=3)
+    pth = tmp_path / "oracle.pth"
+    torch.save({"state_dict": oracle.state_dict()}, pth)
+
+    # ---- convert -> orbax via the CLI tool ----
+    ckpt_dir = tmp_path / "converted"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert_checkpoint.py"),
+         str(pth), str(cfg_path), "--out", str(ckpt_dir)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # ---- evaluate through tools/test.py ----
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "test.py"),
+         str(cfg_path), "--checkpoint", str(ckpt_dir), "--split", "val"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "restored checkpoint step" in r.stdout
+    cli = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"^\s+(semkitti_\S+): ([-\d.eE]+)",
+                             r.stdout, re.M)
+    }
+    assert "semkitti_combined_IoU" in cli, r.stdout[-2000:]
+
+    # ---- torch oracle's own eval over the identical loader stream ----
+    data_cfg = cfg["data"]["val"]
+    pipe_cfg = PipelineConfig(
+        input_size=tuple(cfg["data_config"]["input_size"]),
+        is_train=False,
+        point_cloud_range=tuple(cfg["point_cloud_range"]),
+    )
+    index = SemanticKittiIndex(
+        data_root=data_cfg["data_root"], ann_file=data_cfg["ann_file"],
+        split="val",
+    )
+    loader = BatchLoader(
+        index.shard(0, 1), SemanticKittiPipeline(pipe_cfg), batch_size=1,
+        shuffle=False, drop_last=False, num_workers=0,
+    )
+    state = ssc_metrics.empty_state()
+    with torch.no_grad():
+        for batch in loader:
+            tb = {k: torch.from_numpy(np.asarray(v).copy())
+                  for k, v in batch.items()}
+            logits = oracle(tb)["output_voxels"]  # [B, C, X, Y, Z]
+            gt = tb["gt_occ"]
+            if logits.shape[2:] != gt.shape[1:]:
+                logits = F.interpolate(
+                    logits, size=tuple(gt.shape[1:]), mode="trilinear",
+                    align_corners=False,
+                )
+            pred = logits.argmax(dim=1).numpy()
+            state = ssc_metrics.update_state(
+                state, jnp.asarray(pred), jnp.asarray(gt.numpy())
+            )
+    ref = ssc_metrics.evaluate_dict(
+        jax.device_get(state), KITTI_CLASS_NAMES
+    )
+
+    # identical weights modulo convert round-trip; forward parity ~1e-5, so
+    # post-argmax confusion counts agree except knife-edge voxels — metrics
+    # (percent scale) must match to well under a metric point. 0.02 covers
+    # the CLI's 2-decimal print rounding plus a straddled rounding boundary
+    # from single-voxel argmax flips (observed: road IoU 1.50 vs 1.51).
+    for k, v in ref.items():
+        if not np.isfinite(float(v)):
+            continue  # class absent from the 1-frame fixture split
+        assert k in cli, k
+        np.testing.assert_allclose(cli[k], float(v), atol=0.02, err_msg=k)
+
+
 def test_cfg_options_deep_override(tmp_path):
     """--cfg-options key.path=value semantics (ref tools/train.py:69-78 /
     mmcv Config.merge_from_dict)."""

@@ -100,6 +100,35 @@ def test_zpack_custom_vjp_grads_match_plain_conv3d():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_zpack_core_bwd_grads_match_plain_conv3d(monkeypatch):
+    """STEREOSCENE_ZPACK_BWD=core (the round-5 training default candidate:
+    autodiff VJP of the zpack lowering itself, behind the same barriers +
+    f32 island) is mathematically identical to the plain-conv3d VJP — both
+    grads must match to accumulation noise."""
+    from stereoscene_tpu.models.layers import (
+        _plain_conv3d, _zpack_s1, _zpack_s2, _dpack_s1, _dpack_s2,
+    )
+
+    monkeypatch.setenv("STEREOSCENE_ZPACK_BWD", "core")
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 6, 10, 4).astype(np.float32))
+    w = jnp.asarray(0.2 * rng.randn(3, 3, 3, 4, 8).astype(np.float32))
+
+    for op, stride in ((_zpack_s1, 1), (_zpack_s2, 2),
+                       (_dpack_s1, 1), (_dpack_s2, 2)):
+        def loss(fn, xx, ww):
+            return jnp.sum(fn(xx, ww) ** 2)
+
+        gx, gw = jax.grad(lambda a, b: loss(op, a, b), argnums=(0, 1))(x, w)
+        px, pw = jax.grad(
+            lambda a, b: loss(lambda xx, ww: _plain_conv3d(xx, ww, stride),
+                              a, b), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(px),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(pw),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_dpack_matches_direct():
     """The input-side depth fold (layers._dpack_s1_core/_dpack_s2_core) is
     exact tap algebra vs the direct conv3d at both strides."""

@@ -61,9 +61,12 @@ def main():
                          shapes.get("batch_stats", {}))
 
     _, stages, _ = scaled_stage_settings(det_cfg.backbone_arch)
+    # blocks-per-level follows the configured ResNet3D depth (the same
+    # {depth->blocks} map the model itself uses, models/detector.py)
+    blocks = {10: 1, 18: 2}[det_cfg.resnet_depth]
     nm = build_name_map(
         backbone_stage_blocks=[len(s) for s in stages],
-        resnet_blocks=(2, 2, 2),
+        resnet_blocks=(blocks,) * len(det_cfg.voxel_channels),
     )
     new_p, new_s = convert_reference_checkpoint(
         sd, nm, params, stats, strict=not args.no_strict

@@ -35,6 +35,10 @@ def main():
                    help="scan-over-slabs streaming voxel loss chunks "
                         "(0 = monolithic upsample+loss, the round-3 "
                         "liveness-thrashing path); --train only")
+    p.add_argument("--no-bev-cp", action="store_true",
+                   help="bisect: train WITHOUT voxel-side remat")
+    p.add_argument("--no-backbone-cp", action="store_true",
+                   help="bisect: train WITHOUT backbone remat")
     args = p.parse_args()
 
     import jax
@@ -60,8 +64,8 @@ def main():
         hr_full,
         xbound=(hr_full.xbound[0],
                 hr_full.xbound[0] + step_x * x_slice, step_x),
-        backbone_with_cp=args.train,  # remat for training, off for inference
-        bev_with_cp=args.train,  # voxel-side remat: highres bwd needs it
+        backbone_with_cp=args.train and not args.no_backbone_cp,
+        bev_with_cp=args.train and not args.no_bev_cp,
     )
     assert cfg.grid_shape == (x_slice, y, z), cfg.grid_shape
     print(
@@ -129,6 +133,23 @@ def main():
         rng = jax.random.PRNGKey(0)
         state, logs = jitted(state, batch, rng)  # compile + warm
         jax.block_until_ready(logs["loss_total"])
+        # Warm until steady — load-bearing (round-5 root cause of the
+        # "128-258 s/step" highres numbers): feeding back the donated-state
+        # outputs changes the call's layout signature, and jax RE-LOWERS +
+        # RECOMPILES the step (~374 s at these shapes, jax_log_compiles
+        # shows it) — and the chosen output layouts keep moving for a few
+        # executables before reaching a fixed point. Steady state after
+        # convergence: ~0.7 s/step. Timing without this loop averages
+        # one-off compiles into 2-5 iterations and reports a fiction
+        # (round 3's "128.5 s/step" was exactly that).
+        for w in range(6):
+            tw = time.perf_counter()
+            state, logs = jitted(state, batch, jax.random.fold_in(rng, 100 + w))
+            jax.block_until_ready(logs["loss_total"])
+            dtw = time.perf_counter() - tw
+            print(f"# warm {w}: {dtw:.1f}s", file=sys.stderr, flush=True)
+            if dtw < 5.0:
+                break
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, logs = jitted(state, batch, jax.random.fold_in(rng, i))
@@ -137,11 +158,18 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         mode = "train"
         try:
-            ma = jitted.lower(
-                state, batch, rng).compile().memory_analysis()
+            compiled = jitted.lower(state, batch, rng).compile()
+            ma = compiled.memory_analysis()
             stats_extra = {"hbm_stage_max_gb": round(
                 (ma.argument_size_in_bytes + ma.output_size_in_bytes
                  + ma.temp_size_in_bytes) / 2**30, 3)}
+            ca = compiled.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            stats_extra["analyzed_tflops"] = round(
+                float(ca.get("flops", 0.0)) / 1e12, 3)
+            stats_extra["analyzed_gbytes"] = round(
+                float(ca.get("bytes accessed", 0.0)) / 1e9, 3)
         except Exception as e:  # noqa: BLE001
             stats_extra = {"hbm_stage_max_gb": None, "mem_err": str(e)[:80]}
     else:

@@ -29,12 +29,21 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# pin the CPU backend BEFORE jax loads: the parity tests run under the
+# conftest's JAX_PLATFORMS=cpu, and on the TPU backend f32 convs default to
+# bf16-precision MXU passes — a first run of this probe on the axon backend
+# reported ~0.5 normalized "cross errors" that were nothing but that precision
+# mode. Apples-to-apples requires the same backend as the test.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import numpy as np
 import torch
 import torch.nn.functional as F
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def probe_single_module_vjp():
@@ -217,6 +226,89 @@ def probe_full_model_noise():
     return rows
 
 
+def probe_reorder_noise():
+    """Accumulation-order noise floor on the EXACT test path: the same
+    jax.value_and_grad program run eagerly (op-by-op dispatch) vs under
+    whole-program jit (XLA fusion reorders every reduction). The math is
+    identical; any per-leaf difference is pure f32 reorder noise — the
+    irreducible floor below which a cross-framework comparison measures
+    nothing. Prints the distribution and the round-4 red leaf."""
+    import torch as _torch
+
+    from tests.test_models import TINY
+    from tests.test_grad_parity import _labeled_batch
+    from tests.torch_oracle import TorchStereoScene, randomize_state
+    from stereoscene_tpu.engine.train import LossConfig, compute_losses
+    from stereoscene_tpu.models.detector import BEVDepthOccupancy
+    from stereoscene_tpu.models.efficientnet import scaled_stage_settings
+    from stereoscene_tpu.utils.convert_reference import (
+        build_name_map, convert_reference_checkpoint,
+    )
+
+    rng = np.random.RandomState(5)
+    batch = _labeled_batch(b=2, rng=rng)
+    loss_cfg = LossConfig(downsample=TINY.downsample, dbound=TINY.dbound)
+    _torch.manual_seed(0)
+    tm = TorchStereoScene(TINY).eval()
+    randomize_state(tm, seed=9)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    model = BEVDepthOccupancy(cfg=TINY)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, batch, train=False), jax.random.PRNGKey(0)
+    )
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, np.float32), shapes)
+    _, stages, _ = scaled_stage_settings(TINY.backbone_arch)
+    name_map = build_name_map([len(s) for s in stages])
+    params, stats = convert_reference_checkpoint(
+        sd, name_map, zeros["params"], zeros["batch_stats"]
+    )
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p, "batch_stats": stats}, batch, train=False
+        )
+        return sum(jax.tree.leaves(compute_losses(out, batch, loss_cfg)))
+
+    print("[3] eager grads ...")
+    g_eager = jax.grad(loss_fn)(params)
+    print("[3] jit grads ...")
+    g_jit = jax.jit(jax.grad(loss_fn))(params)
+
+    flat_e = jax.tree_util.tree_leaves_with_path(g_eager)
+    flat_j = {
+        jax.tree_util.keystr(k): np.asarray(v, np.float64)
+        for k, v in jax.tree_util.tree_leaves_with_path(g_jit)
+    }
+    global_scale = max(
+        np.abs(np.asarray(v)).max() for _, v in flat_e
+    )
+    rows = []
+    for k, ve in flat_e:
+        key = jax.tree_util.keystr(k)
+        a = np.asarray(ve, np.float64)
+        b = flat_j[key]
+        scale = max(np.abs(a).max(), np.abs(b).max(), 1e-6)
+        absd = np.abs(a - b).max()
+        rows.append((key, scale, absd, absd / scale))
+    rows.sort(key=lambda r: -r[3])
+    print(f"\nglobal grad scale (max over leaves of max|g|): "
+          f"{global_scale:.4e}")
+    print(f"{'leaf':70s} {'scale':>9s} {'abs-reorder':>11s} {'norm':>8s}")
+    for key, scale, absd, nrm in rows[:12]:
+        print(f"{key[:70]:70s} {scale:9.2e} {absd:11.3e} {nrm:8.4f}")
+    tgt = [r for r in rows if "dres4" in r[0] and "conv5_deconv" in r[0]
+           and "kernel" in r[0]]
+    for key, scale, absd, nrm in tgt:
+        print(f"\nTARGET {key}: scale {scale:.2e} abs-reorder {absd:.3e} "
+              f"normalized {nrm:.4f}")
+    worst_abs = max(r[2] for r in rows)
+    print(f"\nworst abs reorder noise: {worst_abs:.3e} "
+          f"({worst_abs / global_scale:.2e} of global scale)")
+    return rows, global_scale
+
+
 if __name__ == "__main__":
     probe_single_module_vjp()
+    probe_reorder_noise()
     probe_full_model_noise()
